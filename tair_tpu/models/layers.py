@@ -1,0 +1,124 @@
+"""Shared neural-net building blocks (Flax, NHWC, TPU-first).
+
+Functional counterparts of /root/reference/terediff/model/util.py (timestep
+embedding, zero-init modules, fp32 GroupNorm) re-designed for XLA: NHWC
+layouts so convs tile onto the MXU, fp32 normalization islands inside a
+bf16 compute stream, and `flax.linen.remat` instead of a custom autograd
+checkpoint function.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [cos | sin] ordering.
+
+    Matches the SD/guided-diffusion convention
+    (/root/reference/terediff/model/util.py:128-148).
+    timesteps: [N] (possibly fractional) -> [N, dim] float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm always computed in float32 (TPU VPU), cast back to input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False, name=None):
+    return nn.Conv(
+        features,
+        (3, 3),
+        padding=1,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        name=name,
+    )
+
+
+def conv1x1(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False, name=None):
+    return nn.Conv(
+        features,
+        (1, 1),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        name=name,
+    )
+
+
+def dense(features: int, dtype: Dtype = jnp.float32, use_bias: bool = True,
+          zero_init: bool = False, name=None):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        name=name,
+    )
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample for NHWC tensors.
+
+    Implemented as reshape+broadcast (XLA lowers this to a cheap copy) instead
+    of a gather-based resize.
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+class TimestepEmbedder(nn.Module):
+    """Two-layer SiLU MLP over the sinusoidal embedding."""
+
+    model_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        emb = timestep_embedding(t, self.model_channels)
+        emb = dense(self.model_channels * 4, self.dtype, name="fc1")(emb)
+        emb = nn.silu(emb)
+        emb = dense(self.model_channels * 4, self.dtype, name="fc2")(emb)
+        return emb
