@@ -48,8 +48,13 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
+        # Production channel counts are all multiples of 32; tiny test configs
+        # fall back to fewer groups rather than failing.
+        groups = self.num_groups
+        while x.shape[-1] % groups != 0:
+            groups //= 2
         x = nn.GroupNorm(
-            num_groups=self.num_groups,
+            num_groups=groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
