@@ -1,0 +1,130 @@
+"""Hungarian matchers for TESTR (device-side costs, host-side LSAP).
+
+Parity with /root/reference/testr/adet/modeling/testr/matcher.py:10-172:
+CtrlPointHungarianMatcher (focal class + keypoint-L1 costs) and
+BoxHungarianMatcher (focal class + box-L1 + GIoU). Cost matrices are computed
+on device over STATIC padded targets [B, M, ...]; the linear sum assignment
+runs host-side through `jax.pure_callback` (scipy), mirroring the reference's
+implicit GPU->CPU hop (matcher.py:74-76). The assignment is returned as a
+dense [B, M] query index per target (-1 for padding) — jit-friendly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _focal_class_cost(prob: jnp.ndarray, alpha=0.25, gamma=2.0):
+    """prob [..., 1] sigmoid; returns pos_cost - neg_cost for class 0."""
+    neg = (1 - alpha) * (prob**gamma) * (-jnp.log(1 - prob + 1e-8))
+    pos = alpha * ((1 - prob) ** gamma) * (-jnp.log(prob + 1e-8))
+    return (pos - neg)[..., 0]
+
+
+def box_cxcywh_to_xyxy(b):
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def generalized_box_iou_pairwise(a, b):
+    """a [..., Q, 4], b [..., M, 4] xyxy -> GIoU [..., Q, M]."""
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[..., :, None] + area_b[..., None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    # smallest enclosing box
+    lt_c = jnp.minimum(a[..., :, None, :2], b[..., None, :, :2])
+    rb_c = jnp.maximum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh_c = jnp.clip(rb_c - lt_c, 0)
+    area_c = wh_c[..., 0] * wh_c[..., 1]
+    return iou - (area_c - union) / jnp.maximum(area_c, 1e-9)
+
+
+def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Batched rectangular LSAP on host. cost [B, Q, M]; returns [B, M] query
+    index per target (-1 for padded targets)."""
+    from scipy.optimize import linear_sum_assignment
+
+    b, q, m = cost.shape
+    out = np.full((b, m), -1, np.int32)
+    for i in range(b):
+        n = int(n_valid[i])
+        if n == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[i, :, :n])
+        out[i, cols] = rows
+    return out
+
+
+def solve_assignment(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """jit-safe wrapper: [B, Q, M] cost + [B] counts -> [B, M] src indices."""
+    b, _, m = cost.shape
+    return jax.pure_callback(
+        _lsa_host,
+        jax.ShapeDtypeStruct((b, m), jnp.int32),
+        jax.lax.stop_gradient(cost.astype(jnp.float32)),
+        n_valid,
+        vmap_method="sequential",
+    )
+
+
+def ctrl_point_match(
+    outputs: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    class_weight: float = 2.0,
+    coord_weight: float = 5.0,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Decoder matching. outputs: pred_logits [B,Q,Np,1], pred_ctrl_points
+    [B,Q,Np,2]; targets: ctrl_points [B,M,Np,2], inst_mask [B,M].
+    Returns [B, M] matched query index (-1 = padding)."""
+    prob = jax.nn.sigmoid(outputs["pred_logits"].astype(jnp.float32))
+    cost_class = _focal_class_cost(prob, alpha, gamma).mean(-1)[..., None]  # [B,Q,1]
+
+    out_pts = outputs["pred_ctrl_points"].astype(jnp.float32)
+    b, q = out_pts.shape[:2]
+    m = targets["ctrl_points"].shape[1]
+    out_flat = out_pts.reshape(b, q, -1)
+    tgt_flat = targets["ctrl_points"].astype(jnp.float32).reshape(b, m, -1)
+    cost_kpts = jnp.sum(
+        jnp.abs(out_flat[:, :, None, :] - tgt_flat[:, None, :, :]), axis=-1
+    )  # [B, Q, M]
+
+    cost = class_weight * cost_class + coord_weight * cost_kpts
+    return solve_assignment(cost, targets["inst_mask"].sum(-1).astype(jnp.int32))
+
+
+def box_match(
+    outputs: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    class_weight: float = 2.0,
+    coord_weight: float = 5.0,
+    giou_weight: float = 2.0,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Encoder-proposal matching. outputs: pred_logits [B,S,1], pred_boxes
+    [B,S,4] cxcywh; targets: boxes [B,M,4], inst_mask [B,M]."""
+    prob = jax.nn.sigmoid(outputs["pred_logits"].astype(jnp.float32))
+    cost_class = _focal_class_cost(prob, alpha, gamma)[..., None]  # [B,S,1]
+
+    out_box = outputs["pred_boxes"].astype(jnp.float32)
+    tgt_box = targets["boxes"].astype(jnp.float32)
+    cost_bbox = jnp.sum(
+        jnp.abs(out_box[:, :, None, :] - tgt_box[:, None, :, :]), axis=-1
+    )
+    cost_giou = -generalized_box_iou_pairwise(
+        box_cxcywh_to_xyxy(out_box), box_cxcywh_to_xyxy(tgt_box)
+    )
+    cost = class_weight * cost_class + coord_weight * cost_bbox + giou_weight * cost_giou
+    return solve_assignment(cost, targets["inst_mask"].sum(-1).astype(jnp.int32))

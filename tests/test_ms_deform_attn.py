@@ -1,0 +1,103 @@
+"""Parity test of the XLA ms-deform-attn core against a torch grid_sample
+oracle — the same oracle relationship the reference uses to validate its CUDA
+kernel (ms_deform_attn_core_pytorch, "for debug and test only")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from tair_tpu.spotter.ms_deform_attn import MSDeformAttn, ms_deform_attn_core
+
+
+def torch_oracle(value, spatial_shapes, sampling_locations, attention_weights):
+    """Pure-torch multi-scale deformable attention via grid_sample."""
+    b, _, h, d = value.shape
+    _, q, _, n_levels, n_points, _ = sampling_locations.shape
+    splits = [hl * wl for hl, wl in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    out = torch.zeros(b, q, h, d)
+    for lvl, (hl, wl) in enumerate(spatial_shapes):
+        v = value_list[lvl].permute(0, 2, 3, 1).reshape(b * h, d, hl, wl)
+        grid = 2 * sampling_locations[:, :, :, lvl] - 1  # [B,Q,H,P,2]
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(b * h, q, n_points, 2)
+        sampled = F.grid_sample(
+            v, grid, mode="bilinear", padding_mode="zeros", align_corners=False
+        )  # [B*H, D, Q, P]
+        w = attention_weights[:, :, :, lvl].permute(0, 2, 1, 3)  # [B,H,Q,P]
+        w = w.reshape(b * h, 1, q, n_points)
+        out += (sampled * w).sum(-1).reshape(b, h, d, q).permute(0, 3, 1, 2)
+    return out.reshape(b, q, h * d)
+
+
+def test_core_matches_torch_grid_sample():
+    rs = np.random.RandomState(0)
+    b, h, d, q, p = 2, 4, 8, 10, 4
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = rs.randn(b, s, h, d).astype(np.float32)
+    # locations straddle in-bounds and out-of-bounds regions
+    locs = rs.uniform(-0.2, 1.2, (b, q, h, len(shapes), p, 2)).astype(np.float32)
+    attn = rs.rand(b, q, h, len(shapes), p).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+
+    ours = np.asarray(
+        ms_deform_attn_core(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn)
+        )
+    )
+    ref = torch_oracle(
+        torch.from_numpy(value),
+        shapes,
+        torch.from_numpy(locs),
+        torch.from_numpy(attn),
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_core_gradients_flow():
+    shapes = ((4, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = jnp.asarray(np.random.RandomState(1).randn(1, s, 2, 4), jnp.float32)
+    locs = jnp.full((1, 3, 2, 2, 2, 2), 0.5)
+    attn = jnp.full((1, 3, 2, 2, 2), 0.25)
+
+    def f(v, l, a):
+        return ms_deform_attn_core(v, shapes, l, a).sum()
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(value, locs, attn)
+    assert np.isfinite(np.asarray(gv)).all()
+    assert np.abs(np.asarray(gl)).sum() > 0  # bilinear gradient wrt locations
+    assert np.abs(np.asarray(ga)).sum() > 0
+
+
+def test_module_shapes_and_init():
+    m = MSDeformAttn(d_model=32, n_levels=2, n_heads=4, n_points=4)
+    shapes = ((4, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    q = jnp.ones((1, 5, 32))
+    ref = jnp.full((1, 5, 2, 2), 0.5)
+    v = jnp.ones((1, s, 32))
+    params = m.init(jax.random.PRNGKey(0), q, ref, v, shapes)
+    out = m.apply(params, q, ref, v, shapes)
+    assert out.shape == (1, 5, 32)
+    # zero-init kernels: offsets come only from the directional bias
+    k = params["params"]["sampling_offsets"]["kernel"]
+    assert np.asarray(jnp.abs(k)).sum() == 0.0
+    bias = np.asarray(params["params"]["sampling_offsets"]["bias"]).reshape(4, 2, 4, 2)
+    # radii grow with point index
+    r = np.abs(bias).max(-1)
+    assert (r[:, :, 1] > r[:, :, 0]).all()
+
+
+def test_module_with_box_references():
+    m = MSDeformAttn(d_model=16, n_levels=2, n_heads=2, n_points=2)
+    shapes = ((4, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    q = jnp.ones((1, 3, 16))
+    ref = jnp.tile(jnp.asarray([0.5, 0.5, 0.2, 0.3]), (1, 3, 2, 1))
+    v = jnp.ones((1, s, 16))
+    params = m.init(jax.random.PRNGKey(0), q, ref, v, shapes)
+    out = m.apply(params, q, ref, v, shapes)
+    assert out.shape == (1, 3, 16)

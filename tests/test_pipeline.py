@@ -1,0 +1,37 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tair_tpu.models.tokenizer import tokenize
+from tair_tpu.pipeline import build_tiny_model
+
+
+def test_end_to_end_restore():
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    toks = jnp.asarray(tokenize([""]))
+
+    restored, clean, feats = jax.jit(
+        lambda p, lq, t, r: model.restore(p, lq, t, r, steps=3, feat_iterations=(3,))
+    )(params, lq, toks, jax.random.PRNGKey(2))
+
+    assert restored.shape == (1, 64, 64, 3)
+    assert clean.shape == (1, 64, 64, 3)
+    assert float(restored.min()) >= 0.0 and float(restored.max()) <= 1.0
+    assert np.isfinite(np.asarray(restored)).all()
+    # feature pyramid captured at the tagged iteration: 4 levels
+    assert len(feats) == 4
+    assert feats[0].shape[0] == 1  # one tag
+    # channels follow (4m, 4m, 2m, m) with m=32
+    assert [f.shape[-1] for f in feats] == [128, 128, 64, 32]
+
+
+def test_restore_deterministic():
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    toks = jnp.asarray(tokenize(["some text"]))
+    a, _, _ = model.restore(params, lq, toks, jax.random.PRNGKey(5), steps=2)
+    b, _, _ = model.restore(params, lq, toks, jax.random.PRNGKey(5), steps=2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

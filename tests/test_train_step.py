@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tair_tpu.diffusion import Diffusion
+from tair_tpu.models.tokenizer import tokenize
+from tair_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from tair_tpu.pipeline import build_tiny_model
+from tair_tpu.train.stages import trainable_mask
+from tair_tpu.train.step import create_train_state, make_train_step
+
+
+def make_batch(bsz=8, hw=64):
+    k = jax.random.PRNGKey(0)
+    return {
+        "gt": jax.random.uniform(k, (bsz, hw, hw, 3)) * 2 - 1,
+        "lq": jax.random.uniform(jax.random.PRNGKey(1), (bsz, hw, hw, 3)),
+        "tokens": jnp.asarray(np.repeat(tokenize(["some text"]), bsz, axis=0)),
+    }
+
+
+def test_trainable_mask_stages():
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    m1 = trainable_mask(params, "stage1")
+    flat = jax.tree_util.tree_flatten_with_path(m1)[0]
+    trained = {p for p, v in flat if v}
+    assert any("controlnet" in str(p) for p in trained)
+    assert any("'unet'" in str(p) and "attn" in str(p) for p in trained)
+    assert not any("'vae'" in str(p) or "'clip'" in str(p) or "swinir" in str(p)
+                   for p in trained)
+    # every trained unet param is an attention param
+    for p in trained:
+        if "'unet'" in str(p):
+            assert "attn" in str(p)
+
+
+def test_train_step_updates_only_stage_params():
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    diffusion = Diffusion(schedule=model.schedule, parameterization="v")
+    state, tx = create_train_state(params, "stage1", 1e-3)
+    step = make_train_step(model, diffusion, tx, donate=False)
+
+    batch = make_batch(bsz=2)
+    new_state, aux = step(state, batch, jax.random.PRNGKey(3))
+
+    assert np.isfinite(float(aux["loss_diffusion"]))
+    assert int(new_state.step) == 1
+
+    mask = trainable_mask(params, "stage1")
+    changed = jax.tree.map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+        params, new_state.params,
+    )
+    flat_mask = jax.tree.leaves(mask)
+    flat_changed = jax.tree.leaves(changed)
+    for m, c in zip(flat_mask, flat_changed):
+        if not m:
+            assert not c, "frozen parameter changed"
+    # at least some trainable params actually moved
+    assert any(c for m, c in zip(flat_mask, flat_changed) if m)
+
+
+def test_train_step_on_8device_mesh():
+    """DP over the virtual 8-CPU mesh: shard batch, replicate params."""
+    mesh = create_mesh(n_data=8)
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    diffusion = Diffusion(schedule=model.schedule, parameterization="v")
+    state, tx = create_train_state(params, "stage1", 1e-3)
+    step = make_train_step(model, diffusion, tx, mesh=mesh, donate=False)
+
+    with mesh:
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, make_batch(bsz=8))
+        new_state, aux = step(state, batch, replicate(mesh, jax.random.PRNGKey(4)))
+    assert np.isfinite(float(aux["loss_total"]))
+    assert int(new_state.step) == 1
