@@ -1,0 +1,97 @@
+import json
+import os
+
+import numpy as np
+
+from tair_tpu.data.satext import (
+    MAX_INSTANCES,
+    SATextDataset,
+    SyntheticSAText,
+    collate,
+    data_iterator,
+    load_satext_file_list,
+    make_caption,
+)
+
+
+def _write_fake_satext(tmp_path, n_imgs=12):
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    ann = {}
+    rs = np.random.RandomState(0)
+    for i in range(n_imgs):
+        name = f"img{i:03d}"
+        arr = (rs.rand(512, 512, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{name}.png")
+        ann[name] = {
+            "0": {
+                "text_instances": [
+                    {
+                        "text": f"WORD{i}",
+                        "bbox": [10, 20, 110, 60],
+                        "polygon": np.stack(
+                            [
+                                np.stack([np.linspace(10, 110, 8), np.full(8, 20)], -1),
+                                np.stack([np.linspace(110, 10, 8), np.full(8, 60)], -1),
+                            ]
+                        ).reshape(16, 2).tolist(),
+                    },
+                    {  # non-ASCII instance must be filtered out
+                        "text": "héllo",
+                        "bbox": [0, 0, 10, 10],
+                        "polygon": [[0, 0]] * 16,
+                    },
+                ]
+            }
+        }
+    with open(tmp_path / "ann.json", "w") as f:
+        json.dump(ann, f)
+    return str(img_dir), str(tmp_path / "ann.json")
+
+
+def test_load_file_list_split_and_filter(tmp_path):
+    img_dir, ann_path = _write_fake_satext(tmp_path)
+    train = load_satext_file_list(img_dir, ann_path, "TRAIN")
+    val = load_satext_file_list(img_dir, ann_path, "VAL", seed=0)
+    assert len(train) == 10  # 12 * 10/11 -> 10
+    assert len(val) == 2
+    rec = train[0]
+    assert len(rec["text"]) == 1  # non-ASCII filtered
+    assert rec["bbox"].shape == (1, 4)
+    assert rec["poly"].shape == (1, 16, 2)
+    assert rec["poly"].max() <= 1.0
+    # cxcywh normalized: box center of [10,20,110,60] at 512
+    np.testing.assert_allclose(
+        rec["bbox"][0], [60 / 512, 40 / 512, 100 / 512, 40 / 512], atol=1e-4
+    )
+    assert rec["prompt"].startswith("A realistic scene where the texts ")
+
+
+def test_dataset_and_collate(tmp_path):
+    img_dir, ann_path = _write_fake_satext(tmp_path)
+    ds = SATextDataset(load_satext_file_list(img_dir, ann_path, "TRAIN"))
+    item = ds[0]
+    assert item["hq"].shape == (512, 512, 3)
+    assert item["kernel1"].shape == (21, 21)
+
+    batch = collate([ds[0], ds[1]])
+    assert batch["hq"].shape == (2, 512, 512, 3)
+    assert batch["tokens"].shape == (2, 77)
+    assert batch["inst_mask"].shape == (2, MAX_INSTANCES)
+    assert batch["inst_mask"][:, 0].all()
+    assert not batch["inst_mask"][:, 1].any()
+    assert batch["ctrl_points"].shape == (2, MAX_INSTANCES, 16, 2)
+    assert batch["texts"].shape == (2, MAX_INSTANCES, 25)
+
+
+def test_synthetic_dataset_iterator():
+    ds = SyntheticSAText(size=64, length=8)
+    it = data_iterator(ds, batch_size=4, seed=1)
+    batch = next(it)
+    assert batch["hq"].shape == (4, 64, 64, 3)
+    assert batch["inst_mask"].any()
+    assert batch["boxes"][batch["inst_mask"]].max() <= 1.0
+    b2 = next(it)
+    assert b2["hq"].shape == (4, 64, 64, 3)
