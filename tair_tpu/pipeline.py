@@ -21,23 +21,36 @@ from .diffusion.schedules import DiffusionSchedule
 from .models.cldm import ControlLDM
 from .models.swinir import SwinIR
 from .sampler.spaced import SpacedSampler
+from .spotter.testr import TESTR, TESTRConfig
 
 Params = Any
 
 
 @dataclass(frozen=True)
 class TeReDiff:
-    """The flagship model bundle: cleaner + ControlLDM (+ spotter, separate)."""
+    """The flagship model bundle: cleaner + ControlLDM + TESTR spotter."""
 
     cldm: ControlLDM
     swinir: SwinIR
     schedule: DiffusionSchedule
+    testr: Optional[TESTR] = None
 
     @classmethod
-    def create(cls, cldm: ControlLDM, swinir: SwinIR) -> "TeReDiff":
+    def create(
+        cls, cldm: ControlLDM, swinir: SwinIR, testr: Optional[TESTR] = None
+    ) -> "TeReDiff":
+        if testr is None:
+            m = cldm.unet.cfg.model_channels
+            mults = cldm.unet.cfg.channel_mult
+            # decoder tap channels, deepest-first (unet.py extract_idx order)
+            chans = tuple(
+                m * mults[len(mults) - 1 - i] for i in range(len(mults))
+            )
+            testr = TESTR(TESTRConfig(in_channels=chans), dtype=cldm.unet.dtype)
         return cls(
             cldm=cldm,
             swinir=swinir,
+            testr=testr,
             schedule=DiffusionSchedule.create(
                 timesteps=1000,
                 beta_schedule="linear",
@@ -48,11 +61,29 @@ class TeReDiff:
         )
 
     def init(self, rng: jax.Array, latent_hw: int = 8) -> Params:
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         params = self.cldm.init(k1, latent_hw=latent_hw)
         img = jnp.zeros((1, latent_hw * 8, latent_hw * 8, 3))
         params["swinir"] = self.swinir.init(k2, img)["params"]
+        if self.testr is not None:
+            feats = self._dummy_feats(latent_hw)
+            params["testr"] = self.testr.init(k3, feats)["params"]
         return params
+
+    def _dummy_feats(self, latent_hw: int):
+        cfg = self.cldm.unet.cfg
+        m = cfg.model_channels
+        n_lvl = len(cfg.channel_mult)
+        feats = []
+        for i in range(n_lvl):
+            # tap i sits after the upsample of decoder level n_lvl-1-i
+            ds = 2 ** max(0, n_lvl - 2 - i)
+            ch = m * cfg.channel_mult[n_lvl - 1 - i]
+            feats.append(jnp.zeros((1, latent_hw // ds, latent_hw // ds, ch)))
+        return tuple(feats)
+
+    def spotter_apply(self, params: Params, feats):
+        return self.testr.apply({"params": params["testr"]}, feats)
 
     def sampler(self, rescale_cfg: bool = False) -> SpacedSampler:
         return SpacedSampler(
@@ -105,6 +136,122 @@ class TeReDiff:
         restored = self.cldm.vae_decode(params, x0)
         return jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0), clean, feats
 
+    def restore_with_ocr_feedback(
+        self,
+        params: Params,
+        lq: jnp.ndarray,
+        rng: jax.Array,
+        steps: int = 50,
+        prompt_style: str = "CAPTION",
+        score_threshold: float = 0.5,
+        initial_prompt: str = "",
+        progress: bool = False,
+    ):
+        """The flagship TAIR inference path (val_sample semantics,
+        /root/reference/terediff/sampler/spaced_sampler.py:246-328): every
+        denoising step runs the spotter on the UNet decoder features, decodes
+        transcriptions on host, rebuilds the prompt, and re-encodes it as the
+        next step's cross-attention conditioning.
+
+        Diffusion step, spotter forward, and CLIP re-encode are each compiled
+        once; only tokenization + string assembly run on host per step.
+        Returns (restored [0,1], ts_results list of per-step dicts).
+        """
+        import numpy as np
+
+        from .models.tokenizer import tokenize
+        from .spotter.charset import decode_text
+        from .spotter.testr import spotter_inference
+        from .data.satext import make_caption, make_tag_prompt
+
+        assert self.testr is not None
+        sampler = self.sampler()
+        sp = sampler.make_schedule(steps)
+        b, h, w, _ = lq.shape
+
+        clean = self.clean(params, lq)
+        cond = dict(
+            c_txt=self.cldm.clip_encode(params, [initial_prompt] * b),
+            c_img=self.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False),
+        )
+
+        model_fn = partial(self.cldm.apply, params)
+
+        @jax.jit
+        def step_fn(x, step_idx, cond, step_rng):
+            return sampler.p_sample(
+                model_fn, sp, x, step_idx, cond, None, 1.0, step_rng
+            )
+
+        @jax.jit
+        def spot_fn(feats):
+            out = self.spotter_apply(params, feats)
+            return spotter_inference(out, score_threshold, image_size=h)
+
+        @jax.jit
+        def encode_fn(tokens):
+            return self.cldm.clip_encode_tokens(params, tokens)
+
+        ts_results = []
+
+        def feedback(feats, cond, i):
+            res = jax.device_get(spot_fn(feats))
+            prompts, step_info = [], []
+            for bi in range(b):
+                keep = res["keep"][bi]
+                texts = [
+                    decode_text(r) for r, k in zip(res["recs"][bi], keep) if k
+                ]
+                polys = res["polygons"][bi][keep].astype(np.int32)
+                prompt = (
+                    make_caption(texts)
+                    if prompt_style == "CAPTION"
+                    else make_tag_prompt(texts)
+                )
+                prompts.append(prompt)
+                step_info.append(
+                    dict(
+                        timestep=int(sp.timesteps[sp.num_steps - 1 - i]),
+                        pred_texts=texts,
+                        pred_prompt=prompt,
+                        pred_polys=polys,
+                        scores=res["scores"][bi][keep],
+                    )
+                )
+            cond = dict(cond, c_txt=encode_fn(jnp.asarray(tokenize(prompts))))
+            ts_results.append(step_info)
+            return cond, step_info
+
+        k_noise, k_chain = jax.random.split(rng)
+        x_T = jax.random.normal(k_noise, (b, h // 8, w // 8, 4), jnp.float32)
+        x0, _ = sampler.val_sample_loop(
+            step_fn, steps, x_T, cond, k_chain, feedback
+        )
+        restored = self.cldm.vae_decode(params, x0)
+        return jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0), ts_results
+
+    def spotter_loss_fn(self, axis_name=None):
+        """Adapter for train.step: (params, feats, batch) -> (loss, aux)."""
+        from .spotter.losses import CriterionConfig, set_criterion
+
+        def fn(params: Params, feats, batch):
+            out = self.spotter_apply(params, feats)
+            targets = {
+                "inst_mask": batch["inst_mask"],
+                "boxes": batch["boxes"],
+                "ctrl_points": batch["ctrl_points"],
+                "texts": batch["texts"],
+            }
+            losses = set_criterion(out, targets, CriterionConfig(), axis_name)
+            aux = {
+                "loss_ocr_ce": losses["loss_ce"],
+                "loss_ocr_ctrl_points": losses["loss_ctrl_points"],
+                "loss_ocr_texts": losses["loss_texts"],
+            }
+            return losses["loss_total"], aux
+
+        return fn
+
 
 def build_default_model(dtype=jnp.bfloat16) -> TeReDiff:
     """Production TAIR geometry (SD-2.1 + SwinIR-TAIR)."""
@@ -119,7 +266,11 @@ def build_default_model(dtype=jnp.bfloat16) -> TeReDiff:
         clip_cfg=CLIPTextConfig(),
         dtype=dtype,
     )
-    return TeReDiff.create(cldm=cldm, swinir=SwinIR(SwinIRConfig(), dtype=dtype))
+    return TeReDiff.create(
+        cldm=cldm,
+        swinir=SwinIR(SwinIRConfig(), dtype=dtype),
+        testr=TESTR(TESTRConfig(), dtype=dtype),
+    )
 
 
 def build_tiny_model(dtype=jnp.float32) -> TeReDiff:
@@ -144,4 +295,18 @@ def build_tiny_model(dtype=jnp.float32) -> TeReDiff:
         ),
         dtype=dtype,
     )
-    return TeReDiff.create(cldm=cldm, swinir=swinir)
+    testr = TESTR(
+        TESTRConfig(
+            d_model=32,
+            n_heads=4,
+            num_encoder_layers=1,
+            num_decoder_layers=2,
+            dim_feedforward=64,
+            num_proposals=10,
+            num_ctrl_points=16,
+            num_chars=25,
+            in_channels=(128, 128, 64, 32),
+        ),
+        dtype=dtype,
+    )
+    return TeReDiff.create(cldm=cldm, swinir=swinir, testr=testr)
