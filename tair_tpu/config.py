@@ -1,0 +1,137 @@
+"""Single-headed YAML config system.
+
+Replaces the reference's two config stacks (OmegaConf YAML for TeReDiff +
+detectron2 yacs CfgNode for TESTR — /root/reference/initialize.py:17-216,
+testr/adet/config/*) with one plain-YAML -> dataclass pipeline. Model
+geometry comes from named presets ("default" = production TAIR geometry,
+"tiny" = CI geometry) with optional per-field overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import yaml
+
+from .data.batch_transform import DegradationConfig
+
+
+@dataclass
+class DatasetConfig:
+    kind: str = "synthetic"          # "satext" | "synthetic"
+    image_root: str = ""
+    ann_path: str = ""
+    out_size: int = 512
+    p_empty_prompt: float = 0.2
+    max_instances: int = 32
+    synthetic_length: int = 256
+
+
+@dataclass
+class TrainConfig:
+    stage: str = "stage1"            # stage1 | stage2 | stage3
+    train_steps: int = 100_000
+    batch_size: int = 3
+    learning_rate: float = 1e-4
+    ckpt_every: int = 25_000
+    log_loss_every: int = 50
+    log_image_every: int = 500
+    num_val_images: int = 2
+    ocr_loss_weight: float = 0.0
+    unet_feat_sampling_timestep: Tuple[int, ...] = (10, 20, 30, 40, 50)
+    exp_dir: str = "./runs/exp"
+    resume: Optional[str] = None
+    seed: int = 0
+    n_data_devices: Optional[int] = None  # default: all devices
+
+
+@dataclass
+class ValConfig:
+    lq_dir: str = ""
+    gt_dir: Optional[str] = None
+    output_dir: str = "./results"
+    steps: int = 50
+    prompt_style: str = "CAPTION"    # CAPTION | TAG
+    score_threshold: float = 0.5
+    cfg_scale: float = 1.0
+    seed: int = 231
+    # tiled (val_patches) settings
+    patch_size: int = 128
+    overlap: int = 16
+    out_scale: int = 4
+    chunk: Optional[int] = None
+
+
+@dataclass
+class ExperimentConfig:
+    model_preset: str = "default"    # "default" | "tiny"
+    dtype: str = "bfloat16"
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    degradation: DegradationConfig = field(default_factory=DegradationConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    val: ValConfig = field(default_factory=ValConfig)
+    weights: Dict[str, str] = field(default_factory=dict)  # torch ckpt paths
+
+
+def _merge_dataclass(cls, data: Dict[str, Any]):
+    """Build dataclass from dict, recursing into dataclass fields."""
+    if data is None:
+        return cls()
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in (
+            "dataset", "degradation", "train", "val",
+        ):
+            sub = {
+                "dataset": DatasetConfig,
+                "degradation": DegradationConfig,
+                "train": TrainConfig,
+                "val": ValConfig,
+            }.get(f.name)
+            kwargs[f.name] = _merge_dataclass(sub, v) if sub else v
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str) -> ExperimentConfig:
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return _merge_dataclass(ExperimentConfig, data)
+
+
+def build_model(cfg: ExperimentConfig):
+    from .pipeline import build_default_model, build_tiny_model
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.dtype]
+    if cfg.model_preset == "default":
+        return build_default_model(dtype=dtype)
+    if cfg.model_preset == "tiny":
+        return build_tiny_model(dtype=dtype)
+    raise ValueError(f"unknown model preset {cfg.model_preset!r}")
+
+
+def build_dataset(cfg: ExperimentConfig, mode: str = "TRAIN"):
+    from .data.satext import (
+        SATextDataset,
+        SyntheticSAText,
+        load_satext_file_list,
+    )
+
+    d = cfg.dataset
+    if d.kind == "synthetic":
+        return SyntheticSAText(size=d.out_size, length=d.synthetic_length,
+                               seed=0 if mode == "TRAIN" else 1)
+    records = load_satext_file_list(
+        d.image_root, d.ann_path, mode, d.out_size,
+        val_sample=2 if mode == "VAL" else None, seed=0,
+    )
+    return SATextDataset(records, d.out_size, d.p_empty_prompt)

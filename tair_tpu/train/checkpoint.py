@@ -1,0 +1,64 @@
+"""Orbax checkpointing of the full train state.
+
+Improves on the reference's torch.save of model weights only
+(/root/reference/train.py:231-241 — optimizer state and step counter are NOT
+saved there): here the whole TrainState pytree (params + optimizer state +
+step) round-trips, so resume is exact. Weight-only export/import is also
+provided for parity with the reference's resume path
+(initialize.py:155-166).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(
+        d for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and os.path.isdir(os.path.join(ckpt_dir, d))
+    )
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=jax.device_get(target))
+
+
+def save_params(path: str, params: Any) -> None:
+    """Weight-only export (numpy .npz of the flattened pytree)."""
+    flat = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
+    arrays = {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+        for p, v in flat
+    }
+    np.savez(path, **arrays)
+
+
+def load_params(path: str, params_like: Any) -> Any:
+    """Weight-only import into an existing pytree structure (non-strict:
+    missing keys keep their current values, like the reference's
+    load_state_dict(strict=False))."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_like)
+    out = []
+    for p, v in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        out.append(data[key] if key in data.files else v)
+    return jax.tree_util.tree_unflatten(treedef, out)

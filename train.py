@@ -1,0 +1,183 @@
+"""TAIR-TPU training driver (3-stage TeReDiff training).
+
+Counterpart of /root/reference/train.py:24-457: per-step on-device RealESRGAN
+degradation synthesis, v-parameterization diffusion loss (+ weighted OCR loss
+in stage2/3), periodic in-loop validation sampling with PSNR/SSIM, and
+checkpointing — as jitted SPMD programs over a data-parallel mesh.
+
+Usage:
+  python train.py --config configs/train_stage1.yaml
+  python train.py --config configs/train_smoke.yaml   # tiny CI run
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--max-steps", type=int, default=None,
+                        help="override train.train_steps (smoke runs)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tair_tpu.config import build_dataset, build_model, load_config
+    from tair_tpu.data.batch_transform import degrade_batch
+    from tair_tpu.data.satext import data_iterator
+    from tair_tpu.diffusion import Diffusion
+    from tair_tpu.parallel.mesh import (
+        create_mesh, init_distributed, replicate, shard_batch,
+    )
+    from tair_tpu.train.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+    from tair_tpu.train.step import create_train_state, make_train_step
+    from tair_tpu.utils.logging import MetricLogger, is_main_process
+    from tair_tpu.utils.metrics import psnr, ssim
+
+    cfg = load_config(args.config)
+    tc = cfg.train
+    max_steps = args.max_steps or tc.train_steps
+
+    init_distributed()
+    n_data = tc.n_data_devices or len(jax.devices())
+    mesh = create_mesh(n_data=n_data)
+    logger = MetricLogger(tc.exp_dir)
+    if is_main_process():
+        print(f"devices={jax.devices()} mesh=data:{n_data} stage={tc.stage}")
+
+    model = build_model(cfg)
+    diffusion = Diffusion(schedule=model.schedule, parameterization="v")
+    params = model.init(jax.random.PRNGKey(tc.seed))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    if is_main_process():
+        print(f"total params: {n_params/1e6:.1f}M")
+
+    state, tx = create_train_state(params, tc.stage, tc.learning_rate)
+    del params
+
+    ckpt_dir = os.path.join(tc.exp_dir, "checkpoints")
+    resume_path = tc.resume or latest_checkpoint(ckpt_dir)
+    if resume_path:
+        state = restore_checkpoint(resume_path, state)
+        if is_main_process():
+            print(f"resumed from {resume_path} at step {int(state.step)}")
+
+    spotter_fn = (
+        model.spotter_loss_fn() if tc.stage in ("stage2", "stage3") else None
+    )
+    step_fn = make_train_step(
+        model, diffusion, tx, mesh=mesh,
+        spotter_loss_fn=spotter_fn,
+        ocr_loss_weight=tc.ocr_loss_weight,
+    )
+
+    degrade = jax.jit(
+        lambda r, hq, k1, k2, sk: degrade_batch(
+            r, hq, k1, k2, sk, cfg.degradation
+        )
+    )
+
+    train_ds = build_dataset(cfg, "TRAIN")
+    it = data_iterator(
+        train_ds, tc.batch_size * n_data, seed=tc.seed,
+        max_inst=cfg.dataset.max_instances,
+    )
+
+    rng = jax.random.PRNGKey(tc.seed)
+    with mesh:
+        state = replicate(mesh, state)
+        rng_dev = replicate(mesh, rng)
+        t_last = time.time()
+        loss_acc = []
+
+        global_step = int(jax.device_get(state.step))
+        while global_step < max_steps:
+            raw = next(it)
+            host_batch = shard_batch(mesh, {
+                "hq": jnp.asarray(raw["hq"]),
+                "kernel1": jnp.asarray(raw["kernel1"]),
+                "kernel2": jnp.asarray(raw["kernel2"]),
+                "sinc_kernel": jnp.asarray(raw["sinc_kernel"]),
+                "tokens": jnp.asarray(raw["tokens"]),
+                "inst_mask": jnp.asarray(raw["inst_mask"]),
+                "boxes": jnp.asarray(raw["boxes"]),
+                "ctrl_points": jnp.asarray(raw["ctrl_points"]),
+                "texts": jnp.asarray(raw["texts"]),
+            })
+            deg_rng = jax.random.fold_in(rng, global_step)
+            gt, lq = degrade(
+                deg_rng, host_batch["hq"], host_batch["kernel1"],
+                host_batch["kernel2"], host_batch["sinc_kernel"],
+            )
+            batch = {
+                "gt": gt, "lq": lq,
+                "tokens": host_batch["tokens"],
+                "inst_mask": host_batch["inst_mask"],
+                "boxes": host_batch["boxes"],
+                "ctrl_points": host_batch["ctrl_points"],
+                "texts": host_batch["texts"],
+            }
+            state, aux = step_fn(state, batch, rng_dev)
+            loss_acc.append(aux)
+            global_step += 1
+
+            if global_step % tc.log_loss_every == 0:
+                metrics = {
+                    k: float(np.mean([float(a[k]) for a in loss_acc]))
+                    for k in loss_acc[-1]
+                }
+                dt = (time.time() - t_last) / len(loss_acc)
+                metrics["sec_per_step"] = dt
+                metrics["img_per_sec"] = tc.batch_size * n_data / dt
+                logger.log(global_step, metrics, prefix="train/")
+                loss_acc, t_last = [], time.time()
+
+            if global_step % tc.ckpt_every == 0 and is_main_process():
+                path = save_checkpoint(ckpt_dir, state, global_step)
+                print(f"saved checkpoint {path}")
+
+            if global_step % tc.log_image_every == 0:
+                val_metrics = run_validation(
+                    model, state.params, cfg, gt, lq, host_batch["tokens"],
+                    n_images=tc.num_val_images,
+                )
+                logger.log(global_step, val_metrics, prefix="val/")
+
+    if is_main_process():
+        save_checkpoint(ckpt_dir, state, global_step)
+        print("training done")
+
+
+def run_validation(model, params, cfg, gt, lq, tokens, n_images=2, steps=10):
+    """In-loop validation: sample a few images, report PSNR/SSIM vs GT
+    (counterpart of train.py:246-436's pyiqa panel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tair_tpu.utils.metrics import psnr, ssim
+
+    n = min(n_images, lq.shape[0])
+    lq_n = jax.device_get(lq)[:n]
+    gt_n = jax.device_get(gt)[:n]
+    restored, _, _ = model.restore(
+        params, jnp.asarray(lq_n), tokens[:n], jax.random.PRNGKey(0),
+        steps=steps,
+    )
+    gt01 = (jnp.asarray(gt_n) + 1.0) / 2.0
+    return {
+        "psnr": float(jnp.mean(psnr(restored, gt01))),
+        "ssim": float(jnp.mean(ssim(restored, gt01))),
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""TAIR-TPU whole-image restoration demo/eval.
+
+Counterpart of /root/reference/val.py:24-265: per-image restoration with
+per-step OCR prompt recycling (the TeReDiff loop), restored PNG + predicted
+text visualization, PSNR/SSIM metrics vs GT when available.
+
+Usage:
+  python val.py --config configs/val_smoke.yaml
+  python val.py --config configs/val.yaml --ckpt runs/stage3/checkpoints/...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def load_image(path: str, size: int | None = None):
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if size is not None and (img.height != size or img.width != size):
+        img = img.resize((size, size), Image.BICUBIC)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def save_image(path: str, arr) -> None:
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(arr)
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def draw_predictions(image, infos):
+    """Overlay predicted polygons + texts (counterpart of text_to_image +
+    TextVisualizer output, val.py:176-181)."""
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray((np.clip(np.asarray(image), 0, 1) * 255).astype("uint8"))
+    drw = ImageDraw.Draw(img)
+    for text, poly in zip(infos["pred_texts"], infos["pred_polys"]):
+        pts = [tuple(p) for p in np.asarray(poly).reshape(-1, 2)]
+        drw.polygon(pts, outline=(0, 255, 0))
+        drw.text((pts[0][0], max(0, pts[0][1] - 10)), text, fill=(255, 0, 0))
+    return np.asarray(img, np.float32) / 255.0
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--ckpt", default=None, help="params .npz or orbax dir")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--image-size", type=int, default=512)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tair_tpu.config import build_model, load_config
+    from tair_tpu.utils.logging import MetricLogger
+    from tair_tpu.utils.metrics import psnr, ssim
+
+    cfg = load_config(args.config)
+    vc = cfg.val
+    steps = args.steps or vc.steps
+    os.makedirs(vc.output_dir, exist_ok=True)
+    logger = MetricLogger(vc.output_dir, "val_metrics.jsonl")
+
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    if args.ckpt:
+        from tair_tpu.train.checkpoint import load_params
+
+        params = load_params(args.ckpt, params)
+        print(f"loaded weights from {args.ckpt}")
+
+    names = sorted(os.listdir(vc.lq_dir))
+    for i, name in enumerate(names):
+        lq = load_image(os.path.join(vc.lq_dir, name), args.image_size)
+        lq_b = jnp.asarray(lq)[None]
+        rng = jax.random.PRNGKey(vc.seed + i)
+        restored, ts_results = model.restore_with_ocr_feedback(
+            params, lq_b, rng, steps=steps,
+            prompt_style=vc.prompt_style,
+            score_threshold=vc.score_threshold,
+        )
+        restored = np.asarray(restored[0])
+
+        stem = os.path.splitext(name)[0]
+        save_image(os.path.join(vc.output_dir, f"restored_{stem}.png"), restored)
+        final = ts_results[-1][0]
+        overlay = draw_predictions(restored, final)
+        save_image(os.path.join(vc.output_dir, f"pred_texts_{stem}.png"), overlay)
+
+        metrics = {"image": name, "pred_texts": final["pred_texts"]}
+        if vc.gt_dir:
+            gt = load_image(os.path.join(vc.gt_dir, name), args.image_size)
+            metrics["psnr"] = float(psnr(jnp.asarray(restored)[None],
+                                         jnp.asarray(gt)[None])[0])
+            metrics["ssim"] = float(ssim(jnp.asarray(restored)[None],
+                                         jnp.asarray(gt)[None])[0])
+        logger.log(i, metrics)
+
+    print(f"wrote results to {vc.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""TAIR-TPU tiled restoration (the fork's val_patches path, batched).
+
+Counterpart of /root/reference/val_patches.py:209-475: split LQ into 128^2
+patches with 16-px overlap, restore each at 512^2, merge with linear
+edge-fade blending at 64-px overlap — except patches are restored as ONE
+BATCH (sharded across chips) instead of the reference's serial Python loop.
+
+Usage:
+  python val_patches.py --config configs/val_smoke.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--steps", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tair_tpu.config import build_model, load_config
+    from tair_tpu.models.tokenizer import tokenize
+    from tair_tpu.tiling import restore_tiled
+    from tair_tpu.utils.logging import MetricLogger
+    from tair_tpu.utils.metrics import psnr, ssim
+    from val import load_image, save_image
+
+    cfg = load_config(args.config)
+    vc = cfg.val
+    steps = args.steps or vc.steps
+    os.makedirs(vc.output_dir, exist_ok=True)
+    logger = MetricLogger(vc.output_dir, "val_patches_metrics.jsonl")
+
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    if args.ckpt:
+        from tair_tpu.train.checkpoint import load_params
+
+        params = load_params(args.ckpt, params)
+
+    empty_tokens = jnp.asarray(tokenize([""]))
+
+    @jax.jit
+    def restore_batch(lq_batch, rng):
+        toks = jnp.broadcast_to(empty_tokens, (lq_batch.shape[0], 77))
+        restored, _, _ = model.restore(params, lq_batch, toks, rng, steps=steps)
+        return restored
+
+    names = sorted(os.listdir(vc.lq_dir))
+    for i, name in enumerate(names):
+        lq = load_image(os.path.join(vc.lq_dir, name))
+        out = restore_tiled(
+            restore_batch,
+            jnp.asarray(lq),
+            jax.random.PRNGKey(vc.seed + i),
+            patch=vc.patch_size,
+            overlap=vc.overlap,
+            out_scale=vc.out_scale,
+            chunk=vc.chunk,
+        )
+        out = np.asarray(out)
+        stem = os.path.splitext(name)[0]
+        save_image(os.path.join(vc.output_dir, f"restored_{stem}.png"), out)
+
+        metrics = {"image": name, "out_hw": list(out.shape[:2])}
+        if vc.gt_dir:
+            gt = load_image(os.path.join(vc.gt_dir, name))
+            gt = jax.image.resize(
+                jnp.asarray(gt), out.shape, "cubic"
+            )
+            metrics["psnr"] = float(
+                psnr(jnp.asarray(out)[None], gt[None])[0]
+            )
+            metrics["ssim"] = float(
+                ssim(jnp.asarray(out)[None], gt[None])[0]
+            )
+        logger.log(i, metrics)
+
+    print(f"wrote results to {vc.output_dir}")
+
+
+if __name__ == "__main__":
+    main()
