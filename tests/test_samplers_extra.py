@@ -1,0 +1,65 @@
+"""DDIM / DPM-Solver++ / EDM samplers must all recover a delta distribution
+given a perfect model (same oracle as the spaced-sampler test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tair_tpu.diffusion import DiffusionSchedule
+from tair_tpu.sampler.ddim import DDIMSampler
+from tair_tpu.sampler.dpm import DPMSolverPP2M
+from tair_tpu.sampler.edm import EDMSampler
+
+
+def setup_oracle(zero_snr=False):
+    sched = DiffusionSchedule.create(
+        timesteps=1000, linear_start=0.00085, linear_end=0.0120, zero_snr=zero_snr
+    )
+    x0_true = jnp.asarray(
+        np.random.RandomState(0).randn(1, 8, 8, 4).astype(np.float32) * 0.5
+    )
+    sac = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
+    s1m = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32)
+
+    def model_fn(x, t, cond):
+        a = sac[t].reshape(-1, 1, 1, 1)
+        b = s1m[t].reshape(-1, 1, 1, 1)
+        eps = (x - a * x0_true) / jnp.maximum(b, 1e-8)
+        return a * eps - b * x0_true, ()
+
+    return sched, x0_true, model_fn
+
+
+def test_ddim_recovers_delta():
+    sched, x0, model_fn = setup_oracle()
+    s = DDIMSampler(training_betas=sched.betas, parameterization="v")
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    x = s.sample(model_fn, 20, x_T, None, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-2)
+
+
+def test_dpmpp_2m_recovers_delta():
+    sched, x0, model_fn = setup_oracle()
+    s = DPMSolverPP2M(training_betas=sched.betas, parameterization="v")
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    x = s.sample(model_fn, 15, x_T, None)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-2)
+
+
+@pytest.mark.parametrize("solver", ["euler", "heun", "dpmpp_2m"])
+def test_edm_solvers_recover_delta(solver):
+    sched, x0, model_fn = setup_oracle()
+    s = EDMSampler(training_betas=sched.betas, parameterization="v", solver=solver)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    x = s.sample(model_fn, 20, x_T, None)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=8e-2)
+
+
+def test_ddim_deterministic_eta0():
+    sched, x0, model_fn = setup_oracle()
+    s = DDIMSampler(training_betas=sched.betas, parameterization="v", eta=0.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    a = s.sample(model_fn, 10, x_T, None, jax.random.PRNGKey(1))
+    b = s.sample(model_fn, 10, x_T, None, jax.random.PRNGKey(99))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
