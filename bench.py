@@ -37,17 +37,19 @@ def main() -> None:
     @jax.jit
     def run(params, lq, tokens, rng):
         restored, _, _ = model.restore(params, lq, tokens, rng, steps=steps)
-        return restored
+        # scalar reduction forces full materialization on fetch
+        return jnp.mean(restored)
 
-    # compile + warmup
-    out = run(params, lq, tokens, jax.random.PRNGKey(2))
-    out.block_until_ready()
+    # compile + warmup (fetch the scalar: a real device->host sync)
+    float(run(params, lq, tokens, jax.random.PRNGKey(2)))
 
     n_iter = 3
     t0 = time.perf_counter()
     for i in range(n_iter):
-        out = run(params, lq, tokens, jax.random.PRNGKey(3 + i))
-    out.block_until_ready()
+        # float() fetch each iteration: cannot complete without the full
+        # 50-step chain executing (block_until_ready alone is not a reliable
+        # barrier through the remote-device relay)
+        float(run(params, lq, tokens, jax.random.PRNGKey(3 + i)))
     dt = (time.perf_counter() - t0) / n_iter
 
     n_chips = jax.device_count()

@@ -68,12 +68,13 @@ def merge_with_overlap(
     out_patch: int = 512,
     out_overlap: int = 64,
 ) -> jnp.ndarray:
-    """Weighted blend-merge; returns [H*scale, W*scale, C]."""
-    scale = out_patch // in_patch
+    """Weighted blend-merge; returns [H*scale, W*scale, C] where scale =
+    out_patch / in_patch (may be fractional, e.g. VAE encode 1/8)."""
     h0, w0 = original_hw
     n_h, n_w, ph, pw = split_grid(h0, w0, in_patch, in_overlap)
     stride = out_patch - out_overlap
-    fh, fw = ph * scale, pw * scale
+    fh = (n_h - 1) * stride + out_patch
+    fw = (n_w - 1) * stride + out_patch
     c = patches.shape[-1]
 
     window = jnp.asarray(fade_window(out_patch, out_overlap))[..., None]
@@ -98,7 +99,7 @@ def merge_with_overlap(
         body, (canvas, weights), (patches, pos_h, pos_w)
     )
     merged = canvas / jnp.maximum(weights, 1e-8)
-    return merged[: h0 * scale, : w0 * scale]
+    return merged[: h0 * out_patch // in_patch, : w0 * out_patch // in_patch]
 
 
 def restore_tiled(
