@@ -50,8 +50,15 @@ def generalized_box_iou_pairwise(a, b):
 
 
 def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
-    """Batched rectangular LSAP on host. cost [B, Q, M]; returns [B, M] query
-    index per target (-1 for padded targets)."""
+    """Batched rectangular LSAP on host: native C++ Hungarian when built
+    (tair_tpu.native_ext), scipy fallback. cost [B, Q, M]; returns [B, M]
+    query index per target (-1 for padded targets)."""
+    from ..native_ext import lapjv_batch
+
+    native = lapjv_batch(cost, np.asarray(n_valid, np.int32))
+    if native is not None:
+        return native
+
     from scipy.optimize import linear_sum_assignment
 
     b, q, m = cost.shape
