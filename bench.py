@@ -23,7 +23,10 @@ A100_ANCHOR_IMG_PER_S = 0.065  # measured-class PyTorch anchor (see docstring)
 
 def main() -> None:
     from tair_tpu.models.tokenizer import tokenize
+    from tair_tpu.ops.attention import enable_inference_kernels
     from tair_tpu.pipeline import build_default_model
+
+    enable_inference_kernels()
 
     model = build_default_model(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)

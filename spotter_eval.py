@@ -1,0 +1,98 @@
+"""Text-spotting-only evaluation: TESTR on diffusion features vs GT.
+
+Counterpart of the reference's TESTR evaluation path
+(testr/adet/evaluation/text_evaluation.py + text_eval_script.py), driven the
+TAIR way: the spotter consumes UNet decoder features extracted from a single
+noised forward pass at a fixed timestep (exactly the training-time feature
+distribution, train.py:148-164), and predictions are scored with the
+ICDAR-style polygon-IoU detection / end-to-end F-measure.
+
+Usage:
+  python spotter_eval.py --config configs/train_smoke.yaml [--ckpt w.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--timestep", type=int, default=200)
+    parser.add_argument("--num-images", type=int, default=16)
+    parser.add_argument("--score-threshold", type=float, default=0.5)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tair_tpu.config import build_dataset, build_model, load_config
+    from tair_tpu.data.satext import collate
+    from tair_tpu.diffusion import Diffusion
+    from tair_tpu.spotter.charset import decode_text
+    from tair_tpu.spotter.testr import spotter_inference
+    from tair_tpu.utils.text_eval import SpottingInstance, evaluate_dataset
+
+    cfg = load_config(args.config)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    if args.ckpt:
+        from tair_tpu.train.checkpoint import load_params
+
+        params = load_params(args.ckpt, params)
+
+    diffusion = Diffusion(schedule=model.schedule, parameterization="v")
+    ds = build_dataset(cfg, "VAL")
+    size = cfg.dataset.out_size
+
+    @jax.jit
+    def spot(batch, rng):
+        clean = model.clean(params, batch["lq"])
+        z_0 = model.cldm.vae_encode(params, batch["gt"], rng=rng, sample=True)
+        cond = dict(
+            c_txt=model.cldm.clip_encode_tokens(params, batch["tokens"]),
+            c_img=model.cldm.vae_encode(params, clean * 2 - 1, sample=False),
+        )
+        t = jnp.full((z_0.shape[0],), args.timestep, jnp.int32)
+        noise = jax.random.normal(rng, z_0.shape)
+        z_t = diffusion.q_sample(z_0, t, noise)
+        _, feats = model.cldm.apply(params, z_t, t, cond)
+        out = model.spotter_apply(params, feats)
+        return spotter_inference(out, args.score_threshold, image_size=size)
+
+    all_gts, all_preds = [], []
+    n = min(args.num_images, len(ds))
+    for i in range(0, n, 2):
+        items = [ds[j] for j in range(i, min(i + 2, n))]
+        raw = collate(items, max_inst=cfg.dataset.max_instances)
+        batch = {
+            "gt": jnp.asarray(raw["hq"]) * 2 - 1,
+            "lq": jnp.asarray(raw["hq"]),
+            "tokens": jnp.asarray(raw["tokens"]),
+        }
+        res = jax.device_get(spot(batch, jax.random.PRNGKey(i)))
+        for bi, item in enumerate(items):
+            gts = [
+                SpottingInstance(np.asarray(p) * size, t)
+                for p, t in zip(item["poly"], item["text"])
+            ]
+            keep = res["keep"][bi]
+            preds = [
+                SpottingInstance(
+                    res["polygons"][bi][j], decode_text(res["recs"][bi][j]),
+                    float(res["scores"][bi][j]),
+                )
+                for j in range(len(keep)) if keep[j]
+            ]
+            all_gts.append(gts)
+            all_preds.append(preds)
+
+    scores = evaluate_dataset(all_gts, all_preds)
+    print({k: round(v, 4) if isinstance(v, float) else v for k, v in scores.items()})
+
+
+if __name__ == "__main__":
+    main()

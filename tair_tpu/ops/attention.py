@@ -56,3 +56,19 @@ def register_attn_impl(name: str, fn: Callable) -> None:
 def sdpa(q, k, v, scale: Optional[float] = None) -> jnp.ndarray:
     """Scaled dot-product attention over [B, T, H, D] tensors."""
     return _ATTN_IMPL[_DEFAULT](q, k, v, scale=scale)
+
+
+def enable_inference_kernels() -> str:
+    """Select the fastest attention for inference on the current backend.
+
+    The Pallas flash kernel is forward-only (no custom VJP yet), so this must
+    NOT be called before training; entry points for inference/bench call it.
+    Returns the selected implementation name.
+    """
+    if jax.default_backend() in ("tpu", "axon"):
+        from . import flash_attention  # noqa: F401  (registers "pallas")
+
+        set_attn_impl("pallas")
+    else:
+        set_attn_impl("xla")
+    return _DEFAULT

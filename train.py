@@ -25,6 +25,12 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+
+    # numerical tripwire (counterpart of the reference's NaN checks):
+    # DEBUG_NANS=1 makes every jitted op raise on NaN production.
+    if os.environ.get("DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -61,9 +61,11 @@ def main() -> None:
     import numpy as np
 
     from tair_tpu.config import build_model, load_config
+    from tair_tpu.ops.attention import enable_inference_kernels
     from tair_tpu.utils.logging import MetricLogger
     from tair_tpu.utils.metrics import psnr, ssim
 
+    enable_inference_kernels()
     cfg = load_config(args.config)
     vc = cfg.val
     steps = args.steps or vc.steps

@@ -28,6 +28,9 @@ def main() -> None:
 
     from tair_tpu.config import build_model, load_config
     from tair_tpu.models.tokenizer import tokenize
+    from tair_tpu.ops.attention import enable_inference_kernels
+
+    enable_inference_kernels()
     from tair_tpu.tiling import restore_tiled
     from tair_tpu.utils.logging import MetricLogger
     from tair_tpu.utils.metrics import psnr, ssim
