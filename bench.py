@@ -25,7 +25,9 @@ def main() -> None:
     from tair_tpu.models.tokenizer import tokenize
     from tair_tpu.ops.attention import enable_inference_kernels
     from tair_tpu.pipeline import build_default_model
+    from tair_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     enable_inference_kernels()
 
     model = build_default_model(dtype=jnp.bfloat16)

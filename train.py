@@ -26,6 +26,9 @@ def main() -> None:
 
     import jax
 
+    from tair_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     # numerical tripwire (counterpart of the reference's NaN checks):
     # DEBUG_NANS=1 makes every jitted op raise on NaN production.
     if os.environ.get("DEBUG_NANS") == "1":

@@ -65,6 +65,9 @@ def main() -> None:
     from tair_tpu.utils.logging import MetricLogger
     from tair_tpu.utils.metrics import psnr, ssim
 
+    from tair_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     enable_inference_kernels()
     cfg = load_config(args.config)
     vc = cfg.val

@@ -29,7 +29,9 @@ def main() -> None:
     from tair_tpu.config import build_model, load_config
     from tair_tpu.models.tokenizer import tokenize
     from tair_tpu.ops.attention import enable_inference_kernels
+    from tair_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     enable_inference_kernels()
     from tair_tpu.tiling import restore_tiled
     from tair_tpu.utils.logging import MetricLogger
