@@ -242,14 +242,21 @@ def data_iterator(
     seed: int = 0,
     max_inst: int = MAX_INSTANCES,
     prefetch: int = 2,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite host-side batch iterator with background-thread prefetch."""
+    """Infinite host-side batch iterator with background-thread prefetch.
+
+    Multi-host: each process consumes a disjoint shard of the dataset
+    (records strided by process index), the SPMD counterpart of
+    DistributedSampler in the reference's Accelerate loader.
+    """
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
     stop = threading.Event()
 
     def producer():
         rng = random.Random(seed)
-        order = list(range(len(dataset)))
+        order = list(range(process_index, len(dataset), process_count))
         while not stop.is_set():
             if shuffle:
                 rng.shuffle(order)

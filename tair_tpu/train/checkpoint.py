@@ -20,6 +20,8 @@ import orbax.checkpoint as ocp
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    if os.path.exists(path):  # idempotent re-save (e.g. resume + exit)
+        return path
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state))
     ckptr.wait_until_finished()

@@ -98,6 +98,8 @@ def main() -> None:
     it = data_iterator(
         train_ds, tc.batch_size * n_data, seed=tc.seed,
         max_inst=cfg.dataset.max_instances,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
 
     rng = jax.random.PRNGKey(tc.seed)
@@ -157,6 +159,11 @@ def main() -> None:
                 val_metrics = run_validation(
                     model, state.params, cfg, gt, lq, host_batch["tokens"],
                     n_images=tc.num_val_images,
+                    feat_iterations=tc.unet_feat_sampling_timestep,
+                    targets={
+                        k: host_batch[k]
+                        for k in ("inst_mask", "boxes", "ctrl_points", "texts")
+                    } if tc.stage in ("stage2", "stage3") else None,
                 )
                 logger.log(global_step, val_metrics, prefix="val/")
 
@@ -165,27 +172,40 @@ def main() -> None:
         print("training done")
 
 
-def run_validation(model, params, cfg, gt, lq, tokens, n_images=2, steps=10):
-    """In-loop validation: sample a few images, report PSNR/SSIM vs GT
-    (counterpart of train.py:246-436's pyiqa panel)."""
+def run_validation(
+    model, params, cfg, gt, lq, tokens, n_images=2, steps=10,
+    feat_iterations=(), targets=None,
+):
+    """In-loop validation: sample a few images, report PSNR/SSIM vs GT, and
+    (stage2/3) per-tagged-timestep OCR losses on the captured UNet features
+    (counterpart of train.py:246-436's pyiqa + OCR panel)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from tair_tpu.spotter.losses import CriterionConfig, set_criterion
     from tair_tpu.utils.metrics import psnr, ssim
 
     n = min(n_images, lq.shape[0])
-    lq_n = jax.device_get(lq)[:n]
-    gt_n = jax.device_get(gt)[:n]
-    restored, _, _ = model.restore(
-        params, jnp.asarray(lq_n), tokens[:n], jax.random.PRNGKey(0),
-        steps=steps,
+    lq_n = jnp.asarray(jax.device_get(lq)[:n])
+    gt_n = jnp.asarray(jax.device_get(gt)[:n])
+    tags = tuple(t for t in feat_iterations if t <= steps) if targets else ()
+    restored, _, feats = model.restore(
+        params, lq_n, tokens[:n], jax.random.PRNGKey(0),
+        steps=steps, feat_iterations=tags,
     )
-    gt01 = (jnp.asarray(gt_n) + 1.0) / 2.0
-    return {
+    gt01 = (gt_n + 1.0) / 2.0
+    metrics = {
         "psnr": float(jnp.mean(psnr(restored, gt01))),
         "ssim": float(jnp.mean(ssim(restored, gt01))),
     }
+    if tags and model.testr is not None:
+        tgt = {k: jnp.asarray(jax.device_get(v)[:n]) for k, v in targets.items()}
+        for ti, tag in enumerate(sorted(tags)):
+            out = model.spotter_apply(params, tuple(f[ti] for f in feats))
+            losses = set_criterion(out, tgt, CriterionConfig())
+            metrics[f"ocr_loss_iter{tag}"] = float(losses["loss_total"])
+    return metrics
 
 
 if __name__ == "__main__":
