@@ -59,13 +59,18 @@ def sdpa(q, k, v, scale: Optional[float] = None) -> jnp.ndarray:
 
 
 def enable_inference_kernels() -> str:
-    """Select the fastest attention for inference on the current backend.
+    """Select the attention impl for inference on the current backend.
 
-    The Pallas flash kernel is forward-only (no custom VJP yet), so this must
-    NOT be called before training; entry points for inference/bench call it.
-    Returns the selected implementation name.
+    Measured on v5e (full 50-step restore): XLA's fused SDPA edges out the
+    Pallas flash kernel at inference batch sizes, so XLA stays the default;
+    set TAIR_ATTN=pallas to opt in (the kernel wins on isolated large-batch
+    attention microbenchmarks). The Pallas kernel is forward-only (no custom
+    VJP yet) — never select it for training.
     """
-    if jax.default_backend() in ("tpu", "axon"):
+    import os
+
+    choice = os.environ.get("TAIR_ATTN", "xla")
+    if choice == "pallas" and jax.default_backend() in ("tpu", "axon"):
         from . import flash_attention  # noqa: F401  (registers "pallas")
 
         set_attn_impl("pallas")

@@ -1,0 +1,43 @@
+"""Generic bilinear gather for NHWC images (shared by deformable ops).
+
+Zero-padding semantics outside the image, matching torchvision/detectron2's
+bilinear interpolation used by deformable conv and ROIAlign kernels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear_sample_nhwc(
+    img: jnp.ndarray,   # [B, H, W, C]
+    x: jnp.ndarray,     # [B, ...] pixel x coords (float, 0..W-1 grid)
+    y: jnp.ndarray,     # [B, ...] same shape as x
+) -> jnp.ndarray:       # [B, ..., C]
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+    sample_shape = x.shape[1:]
+    x = x.reshape(b, -1)
+    y = y.reshape(b, -1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    out = 0.0
+    for dx, dy, wgt in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (1, 0, fx * (1 - fy)),
+        (0, 1, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        xi = x0 + dx
+        yi = y0 + dy
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)).astype(
+            jnp.int32
+        )
+        g = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        out = out + g * (wgt * valid)[..., None]
+    return out.reshape((b,) + sample_shape + (c,))
