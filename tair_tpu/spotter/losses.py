@@ -39,6 +39,9 @@ class CriterionConfig:
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     aux_loss: bool = True
+    # "hungarian" (exact, host callback / native C++) or "greedy" (jittable,
+    # fully on-device approximation)
+    matcher: str = "hungarian"
 
 
 def sigmoid_focal_loss(logits, targets_onehot, num_inst, alpha=0.25, gamma=2.0):
@@ -160,7 +163,7 @@ def set_criterion(
     src_idx = ctrl_point_match(
         outputs, targets,
         cfg.point_class_weight, cfg.point_coord_weight,
-        cfg.focal_alpha, cfg.focal_gamma,
+        cfg.focal_alpha, cfg.focal_gamma, cfg.matcher,
     )
     losses.update(dec_losses(outputs, targets, src_idx, num_inst, cfg))
 
@@ -169,7 +172,7 @@ def set_criterion(
             idx_i = ctrl_point_match(
                 aux, targets,
                 cfg.point_class_weight, cfg.point_coord_weight,
-                cfg.focal_alpha, cfg.focal_gamma,
+                cfg.focal_alpha, cfg.focal_gamma, cfg.matcher,
             )
             for k, v in dec_losses(aux, targets, idx_i, num_inst, cfg).items():
                 losses[f"{k}_{i}"] = v
@@ -178,7 +181,7 @@ def set_criterion(
         enc_idx = box_match(
             outputs["enc_outputs"], targets,
             cfg.box_class_weight, cfg.box_coord_weight, cfg.box_giou_weight,
-            cfg.focal_alpha, cfg.focal_gamma,
+            cfg.focal_alpha, cfg.focal_gamma, cfg.matcher,
         )
         losses.update(
             enc_losses(outputs["enc_outputs"], targets, enc_idx, num_inst, cfg)

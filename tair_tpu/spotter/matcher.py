@@ -84,6 +84,40 @@ def solve_assignment(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def greedy_assignment(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """Fully-jittable greedy matching (no host callback): repeatedly take the
+    globally cheapest unassigned (query, target) pair. An approximation of
+    the Hungarian optimum that keeps the whole train step on device — useful
+    when the pure_callback SPMD funnel to device 0 dominates; opt in by
+    passing matcher="greedy" to the criterion. cost [B,Q,M] -> [B,M]."""
+    b, q, m = cost.shape
+    big = jnp.float32(1e9)
+    tgt_mask = jnp.arange(m)[None] < n_valid[:, None]  # [B, M]
+    c0 = jnp.where(tgt_mask[:, None, :], cost.astype(jnp.float32), big)
+
+    def body(_, carry):
+        c, out = carry
+        flat = c.reshape(b, q * m)
+        idx = jnp.argmin(flat, axis=1)
+        qi, mi = idx // m, idx % m
+        valid = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0] < big / 2
+        out = jnp.where(
+            valid[:, None] & (jnp.arange(m)[None] == mi[:, None]),
+            qi[:, None].astype(jnp.int32), out,
+        )
+        # block the assigned row and column
+        c = jnp.where(
+            (jnp.arange(q)[None, :, None] == qi[:, None, None])
+            | (jnp.arange(m)[None, None, :] == mi[:, None, None]),
+            big, c,
+        )
+        return c, out
+
+    out0 = jnp.full((b, m), -1, jnp.int32)
+    _, out = jax.lax.fori_loop(0, m, body, (c0, out0))
+    return out
+
+
 def ctrl_point_match(
     outputs: Dict[str, jnp.ndarray],
     targets: Dict[str, jnp.ndarray],
@@ -91,6 +125,7 @@ def ctrl_point_match(
     coord_weight: float = 5.0,
     alpha: float = 0.25,
     gamma: float = 2.0,
+    impl: str = "hungarian",
 ) -> jnp.ndarray:
     """Decoder matching. outputs: pred_logits [B,Q,Np,1], pred_ctrl_points
     [B,Q,Np,2]; targets: ctrl_points [B,M,Np,2], inst_mask [B,M].
@@ -108,7 +143,10 @@ def ctrl_point_match(
     )  # [B, Q, M]
 
     cost = class_weight * cost_class + coord_weight * cost_kpts
-    return solve_assignment(cost, targets["inst_mask"].sum(-1).astype(jnp.int32))
+    n_valid = targets["inst_mask"].sum(-1).astype(jnp.int32)
+    if impl == "greedy":
+        return greedy_assignment(cost, n_valid)
+    return solve_assignment(cost, n_valid)
 
 
 def box_match(
@@ -119,6 +157,7 @@ def box_match(
     giou_weight: float = 2.0,
     alpha: float = 0.25,
     gamma: float = 2.0,
+    impl: str = "hungarian",
 ) -> jnp.ndarray:
     """Encoder-proposal matching. outputs: pred_logits [B,S,1], pred_boxes
     [B,S,4] cxcywh; targets: boxes [B,M,4], inst_mask [B,M]."""
@@ -134,4 +173,7 @@ def box_match(
         box_cxcywh_to_xyxy(out_box), box_cxcywh_to_xyxy(tgt_box)
     )
     cost = class_weight * cost_class + coord_weight * cost_bbox + giou_weight * cost_giou
-    return solve_assignment(cost, targets["inst_mask"].sum(-1).astype(jnp.int32))
+    n_valid = targets["inst_mask"].sum(-1).astype(jnp.int32)
+    if impl == "greedy":
+        return greedy_assignment(cost, n_valid)
+    return solve_assignment(cost, n_valid)
