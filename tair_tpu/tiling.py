@@ -122,7 +122,7 @@ def restore_tiled(
     up = jax.image.resize(patches, (n, big, big, c), "cubic")
     up = jnp.clip(up, 0.0, 1.0)
 
-    if chunk is None or chunk >= n:
+    if chunk is None or chunk == n:
         restored = restore_batch_fn(up, rng)
     else:
         pad = (-n) % chunk

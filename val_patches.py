@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+from functools import partial
 
 
 def main() -> None:
@@ -53,7 +54,24 @@ def main() -> None:
 
     empty_tokens = jnp.asarray(tokenize([""]))
 
-    @jax.jit
+    # shard the patch batch over all chips (the reference restores patches
+    # serially on one GPU, val_patches.py:316)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tair_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(n_data=n_dev)
+        data_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        shard_kwargs = dict(
+            in_shardings=(data_sh, repl), out_shardings=data_sh
+        )
+    else:
+        shard_kwargs = {}
+
+    @partial(jax.jit, **shard_kwargs)
     def restore_batch(lq_batch, rng):
         toks = jnp.broadcast_to(empty_tokens, (lq_batch.shape[0], 77))
         restored, _, _ = model.restore(params, lq_batch, toks, rng, steps=steps)
@@ -62,6 +80,16 @@ def main() -> None:
     names = sorted(os.listdir(vc.lq_dir))
     for i, name in enumerate(names):
         lq = load_image(os.path.join(vc.lq_dir, name))
+        from tair_tpu.tiling import split_grid
+
+        n_h, n_w, _, _ = split_grid(
+            lq.shape[0], lq.shape[1], vc.patch_size, vc.overlap
+        )
+        n_patches = n_h * n_w
+        chunk = vc.chunk
+        if n_dev > 1:
+            # sharded batches must divide evenly across chips
+            chunk = -(-(chunk or n_patches) // n_dev) * n_dev
         out = restore_tiled(
             restore_batch,
             jnp.asarray(lq),
@@ -69,7 +97,7 @@ def main() -> None:
             patch=vc.patch_size,
             overlap=vc.overlap,
             out_scale=vc.out_scale,
-            chunk=vc.chunk,
+            chunk=chunk,
         )
         out = np.asarray(out)
         stem = os.path.splitext(name)[0]
