@@ -111,6 +111,61 @@ def evaluate_dataset(
     }
 
 
+def average_precision(
+    all_gts: Sequence[Sequence[SpottingInstance]],
+    all_preds: Sequence[Sequence[SpottingInstance]],
+    iou_thresholds: Sequence[float] = (0.5,),
+) -> Dict[str, float]:
+    """COCO-style average precision over polygon IoU.
+
+    Counterpart of the vendored fast cocoeval
+    (/root/reference/detectron2/detectron2/layers/csrc/cocoeval/) for the
+    text-spotting detection task: score-ranked greedy matching per IoU
+    threshold, 101-point interpolated AP, reported per threshold and as the
+    mean ("ap" over the given thresholds, e.g. [.5:.95]).
+    """
+    results = {}
+    aps = []
+    for thr in iou_thresholds:
+        scored = []  # (score, is_tp)
+        n_gt = 0
+        for gts, preds in zip(all_gts, all_preds):
+            n_gt += len(gts)
+            order = sorted(range(len(preds)), key=lambda i: -preds[i].score)
+            taken = [False] * len(gts)
+            for i in order:
+                best, best_iou = -1, thr
+                for j, gt in enumerate(gts):
+                    if taken[j]:
+                        continue
+                    iou = polygon_iou(preds[i].polygon, gt.polygon)
+                    if iou >= best_iou:
+                        best, best_iou = j, iou
+                if best >= 0:
+                    taken[best] = True
+                    scored.append((preds[i].score, 1))
+                else:
+                    scored.append((preds[i].score, 0))
+        if n_gt == 0:
+            results[f"ap{int(thr * 100)}"] = 0.0
+            aps.append(0.0)
+            continue
+        scored.sort(key=lambda x: -x[0])
+        tp = np.cumsum([s[1] for s in scored]) if scored else np.zeros(0)
+        fp = np.cumsum([1 - s[1] for s in scored]) if scored else np.zeros(0)
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1e-9)
+        # 101-point interpolation
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            p = precision[recall >= r].max() if (recall >= r).any() else 0.0
+            ap += p / 101
+        results[f"ap{int(thr * 100)}"] = float(ap)
+        aps.append(float(ap))
+    results["ap"] = float(np.mean(aps))
+    return results
+
+
 class LexiconMatcher:
     """Edit-distance lexicon-constrained decoding
     (counterpart of testr/adet/evaluation/lexicon_procesor.py)."""

@@ -105,3 +105,20 @@ def test_tiled_vae_roundtrip_close_to_full():
     dec_full = model.cldm.vae_decode(params, z_full)
     dec_tiled = tiled_vae_decode(model.cldm, params, z_full, tile_size=4, overlap=2)
     assert dec_tiled.shape == dec_full.shape
+
+
+def test_average_precision():
+    import numpy as np
+    from tair_tpu.utils.text_eval import SpottingInstance, average_precision
+
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float32)
+    gt = [[SpottingInstance(sq, "A"), SpottingInstance(sq + 100, "B")]]
+    # perfect detector
+    preds = [[SpottingInstance(sq, "A", 0.9), SpottingInstance(sq + 100, "B", 0.8)]]
+    res = average_precision(gt, preds, (0.5,))
+    assert abs(res["ap50"] - 1.0) < 1e-6
+    # one false positive ranked first lowers AP
+    preds_fp = [[SpottingInstance(sq + 50, "X", 0.95)] + preds[0]]
+    res2 = average_precision(gt, preds_fp, (0.5,))
+    assert res2["ap50"] < 1.0
+    assert res2["ap"] == res2["ap50"]
