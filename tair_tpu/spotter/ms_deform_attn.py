@@ -79,6 +79,82 @@ def ms_deform_attn_core(
     return out.reshape(b, q, h * d).astype(value.dtype)
 
 
+def ms_deform_attn_core_patch(
+    value: jnp.ndarray,                 # [B, S, H, D]
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,    # [B, Q, H, L, P, 2] in [0,1]
+    attention_weights: jnp.ndarray,     # [B, Q, H, L, P]
+) -> jnp.ndarray:
+    """Patch-gather variant of ms_deform_attn_core (same math, faster HBM
+    traffic): each sample point fetches one contiguous [2, 2, D] patch via
+    a single lax.gather instead of four 1-row gathers, so transactions are
+    4x larger. Border handling clamps the patch start and zeroes the
+    out-of-bounds corner weights (grid_sample zero-padding semantics)."""
+    b, s, h, d = value.shape
+    _, q, _, n_levels, n_points, _ = sampling_locations.shape
+
+    out = jnp.zeros((b, q, h, d), jnp.float32)
+    start = 0
+    for lvl, (hl, wl) in enumerate(spatial_shapes):
+        v = value[:, start : start + hl * wl]
+        start += hl * wl
+        # [B, H, Hl, Wl, D]
+        v = v.reshape(b, hl, wl, h, d).transpose(0, 3, 1, 2, 4)
+
+        loc = sampling_locations[:, :, :, lvl]  # [B, Q, H, P, 2]
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None, None]  # [B,Q,H,P,1,1]
+        fy = (y - y0)[..., None, None]
+
+        sx = jnp.clip(x0, 0, max(wl - 2, 0)).astype(jnp.int32)
+        sy = jnp.clip(y0, 0, max(hl - 2, 0)).astype(jnp.int32)
+
+        # per-axis weights at the clamped patch positions, zero when the
+        # corner is out of bounds (grid_sample zero padding)
+        jx = sx[..., None] + jnp.arange(2)  # [B,Q,H,P,2] actual x of patch col
+        jy = sy[..., None] + jnp.arange(2)
+        wx = jnp.where(
+            jx == x0[..., None], 1.0 - fx[..., 0],
+            jnp.where(jx == x0[..., None] + 1, fx[..., 0], 0.0),
+        )
+        wx = wx * ((x0[..., None] + 1 >= 0) & (x0[..., None] <= wl - 1))
+        wy = jnp.where(
+            jy == y0[..., None], 1.0 - fy[..., 0],
+            jnp.where(jy == y0[..., None] + 1, fy[..., 0], 0.0),
+        )
+        wy = wy * ((y0[..., None] + 1 >= 0) & (y0[..., None] <= hl - 1))
+        w2x2 = wy[..., :, None] * wx[..., None, :]  # [B,Q,H,P,2,2]
+
+        # one gather of [2, 2, D] patches: operand [B,H,Hl,Wl,D],
+        # indices [B,H,Q*P,2] (y, x starts)
+        idx = jnp.stack([sy, sx], -1).transpose(0, 2, 1, 3, 4)  # [B,H,Q,P,2]
+        idx = idx.reshape(b, h, q * n_points, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(3, 4, 5),
+            collapsed_slice_dims=(),
+            start_index_map=(2, 3),
+            operand_batching_dims=(0, 1),
+            start_indices_batching_dims=(0, 1),
+        )
+        patches = jax.lax.gather(
+            v, idx, dn, slice_sizes=(1, 1, 2, 2, d),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # [B, H, Q*P, 1, 1, 2, 2, D] -> squeeze
+        patches = patches.reshape(b, h, q, n_points, 2, 2, d)
+
+        w2x2 = w2x2.transpose(0, 2, 1, 3, 4, 5)  # [B,H,Q,P,2,2]
+        aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # [B,H,Q,P]
+        wgt = (w2x2 * aw[..., None, None]).astype(jnp.float32)
+        out = out + jnp.einsum(
+            "bhqpyxd,bhqpyx->bqhd", patches.astype(jnp.float32), wgt
+        )
+
+    return out.reshape(b, q, h * d).astype(value.dtype)
+
+
 def directional_bias_init(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
     """Deformable-DETR's sampling-offset bias init: heads point at compass
     directions, points at increasing radii (ms_deform_attn.py:101-110)."""

@@ -101,3 +101,26 @@ def test_module_with_box_references():
     params = m.init(jax.random.PRNGKey(0), q, ref, v, shapes)
     out = m.apply(params, q, ref, v, shapes)
     assert out.shape == (1, 3, 16)
+
+
+def test_patch_variant_matches_core():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_patch
+
+    rs = np.random.RandomState(5)
+    b, h, d, q, p = 2, 4, 8, 12, 4
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = rs.randn(b, s, h, d).astype(np.float32)
+    locs = rs.uniform(-0.2, 1.2, (b, q, h, len(shapes), p, 2)).astype(np.float32)
+    attn = rs.rand(b, q, h, len(shapes), p).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+
+    ref = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(locs),
+                            jnp.asarray(attn))
+    )
+    out = np.asarray(
+        ms_deform_attn_core_patch(jnp.asarray(value), shapes, jnp.asarray(locs),
+                                  jnp.asarray(attn))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
