@@ -23,6 +23,10 @@ def main() -> None:
     parser.add_argument("--timestep", type=int, default=200)
     parser.add_argument("--num-images", type=int, default=16)
     parser.add_argument("--score-threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--lexicon", default=None,
+        help="optional word-list file for lexicon-constrained decoding",
+    )
     args = parser.parse_args()
 
     import jax
@@ -34,7 +38,16 @@ def main() -> None:
     from tair_tpu.diffusion import Diffusion
     from tair_tpu.spotter.charset import decode_text
     from tair_tpu.spotter.testr import spotter_inference
-    from tair_tpu.utils.text_eval import SpottingInstance, evaluate_dataset
+    from tair_tpu.utils.text_eval import (
+        LexiconMatcher,
+        SpottingInstance,
+        evaluate_dataset,
+    )
+
+    lexicon = None
+    if args.lexicon:
+        with open(args.lexicon) as f:
+            lexicon = LexiconMatcher([w.strip() for w in f if w.strip()])
 
     cfg = load_config(args.config)
     model = build_model(cfg)
@@ -80,13 +93,21 @@ def main() -> None:
                 for p, t in zip(item["poly"], item["text"])
             ]
             keep = res["keep"][bi]
-            preds = [
-                SpottingInstance(
-                    res["polygons"][bi][j], decode_text(res["recs"][bi][j]),
-                    float(res["scores"][bi][j]),
+            preds = []
+            for j in range(len(keep)):
+                if not keep[j]:
+                    continue
+                text = decode_text(res["recs"][bi][j])
+                if lexicon is not None:
+                    matched = lexicon.find_match_word(text)
+                    if matched is None:
+                        continue
+                    text = matched
+                preds.append(
+                    SpottingInstance(
+                        res["polygons"][bi][j], text, float(res["scores"][bi][j])
+                    )
                 )
-                for j in range(len(keep)) if keep[j]
-            ]
             all_gts.append(gts)
             all_preds.append(preds)
 
