@@ -230,6 +230,63 @@ class TeReDiff:
         restored = self.cldm.vae_decode(params, x0)
         return jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0), ts_results
 
+    def restore_fused_feedback(
+        self,
+        params: Params,
+        lq: jnp.ndarray,
+        rng: jax.Array,
+        steps: int = 50,
+        score_threshold: float = 0.5,
+        max_words: int = 4,
+    ):
+        """Fully-compiled TeReDiff loop: ONE lax.scan where every denoising
+        step runs the spotter on the UNet features, assembles the predicted
+        text into a TAG prompt ON DEVICE (models/prompt_splice.py), and
+        re-encodes it through CLIP for the next step's cross-attention — the
+        val_sample semantics with zero host round-trips. This is the serving/
+        benchmark path; restore_with_ocr_feedback is the exact-parity
+        (host-tokenized, CAPTION-template) variant.
+        Returns (restored [0,1], final_tokens [B,77]).
+        """
+        from .models.prompt_splice import splice_tag_prompt
+        from .spotter.testr import spotter_inference
+
+        assert self.testr is not None
+        sampler = self.sampler()
+        sp = sampler.make_schedule(steps)
+        total = sp.num_steps
+        b, h, w, _ = lq.shape
+
+        clean = self.clean(params, lq)
+        c_img = self.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False)
+        empty = jnp.zeros((b, 77), jnp.int32).at[:, 0].set(49406).at[:, 1].set(49407)
+        c_txt0 = self.cldm.clip_encode_tokens(params, empty)
+
+        model_fn = partial(self.cldm.apply, params)
+        k_noise, k_chain = jax.random.split(rng)
+        x_T = jax.random.normal(k_noise, (b, h // 8, w // 8, 4), jnp.float32)
+
+        def body(carry, i):
+            x, c_txt, tokens = carry
+            cond = dict(c_txt=c_txt, c_img=c_img)
+            x, feats = sampler.p_sample(
+                model_fn, sp, x, total - 1 - i, cond, None, 1.0,
+                jax.random.fold_in(k_chain, i),
+            )
+            out = self.spotter_apply(params, feats)
+            res = spotter_inference(out, score_threshold, image_size=h)
+            tokens = splice_tag_prompt(
+                res["recs"], res["scores"], res["keep"], max_words
+            )
+            c_txt = self.cldm.clip_encode_tokens(params, tokens)
+            return (x, c_txt, tokens), None
+
+        (x0, _, tokens), _ = jax.lax.scan(
+            body, (x_T, c_txt0, empty), jnp.arange(total)
+        )
+        restored = self.cldm.vae_decode(params, x0)
+        return jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0), tokens
+
     def spotter_loss_fn(self, axis_name=None):
         """Adapter for train.step: (params, feats, batch) -> (loss, aux)."""
         from .spotter.losses import CriterionConfig, set_criterion

@@ -78,3 +78,20 @@ def test_ocr_feedback_restore():
     assert info["pred_polys"].shape[-2:] == (16, 2)
     # with threshold 0 every proposal is kept -> prompts non-trivial
     assert len(info["pred_texts"]) == 10
+
+
+def test_fused_feedback_restore():
+    """One-compiled-graph TeReDiff loop: spotter feedback without host hops."""
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    restored, tokens = jax.jit(
+        lambda p, lq, r: model.restore_fused_feedback(
+            p, lq, r, steps=3, score_threshold=0.0
+        )
+    )(params, lq, jax.random.PRNGKey(2))
+    assert restored.shape == (1, 64, 64, 3)
+    assert tokens.shape == (1, 77)
+    assert int(tokens[0, 0]) == 49406  # SOT
+    assert (np.asarray(tokens) == 49407).sum() == 1  # one EOT
+    assert np.isfinite(np.asarray(restored)).all()
