@@ -147,9 +147,12 @@ def ms_deform_attn_core_patch(
 
         w2x2 = w2x2.transpose(0, 2, 1, 3, 4, 5)  # [B,H,Q,P,2,2]
         aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # [B,H,Q,P]
+        # fp32 weights (bilinear fractions need the mantissa); the bf16
+        # patches are upcast inside the fused reduction, never materialized
         wgt = (w2x2 * aw[..., None, None]).astype(jnp.float32)
         out = out + jnp.einsum(
-            "bhqpyxd,bhqpyx->bqhd", patches.astype(jnp.float32), wgt
+            "bhqpyxd,bhqpyx->bqhd", patches, wgt,
+            preferred_element_type=jnp.float32,
         )
 
     return out.reshape(b, q, h * d).astype(value.dtype)
