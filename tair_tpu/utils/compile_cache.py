@@ -14,6 +14,10 @@ import os
 def enable_compile_cache(path: str = "/tmp/tair_tpu_xla_cache") -> None:
     import jax
 
+    # CPU AOT artifacts encode host ISA features and can SIGILL on a
+    # different machine; cache only accelerator compiles.
+    if jax.default_backend() == "cpu":
+        return
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -54,6 +54,11 @@ def main() -> None:
     parser.add_argument("--ckpt", default=None, help="params .npz or orbax dir")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--image-size", type=int, default=512)
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="fully-compiled loop with on-device prompt splicing (TAG style) "
+             "instead of the host-tokenized CAPTION feedback",
+    )
     args = parser.parse_args()
 
     import jax
@@ -88,16 +93,31 @@ def main() -> None:
         lq = load_image(os.path.join(vc.lq_dir, name), args.image_size)
         lq_b = jnp.asarray(lq)[None]
         rng = jax.random.PRNGKey(vc.seed + i)
-        restored, ts_results = model.restore_with_ocr_feedback(
-            params, lq_b, rng, steps=steps,
-            prompt_style=vc.prompt_style,
-            score_threshold=vc.score_threshold,
-        )
+        if args.fused:
+            from tair_tpu.models.tokenizer import get_tokenizer
+
+            restored, tokens = model.restore_fused_feedback(
+                params, lq_b, rng, steps=steps,
+                score_threshold=vc.score_threshold,
+            )
+            tok = get_tokenizer()
+            ids = [int(t) for t in np.asarray(tokens[0])
+                   if t not in (0, tok.sot_token, tok.eot_token)]
+            final = {
+                "pred_texts": [w for w in tok.decode(ids).split(" , ") if w],
+                "pred_polys": np.zeros((0, 16, 2), np.int32),
+            }
+        else:
+            restored, ts_results = model.restore_with_ocr_feedback(
+                params, lq_b, rng, steps=steps,
+                prompt_style=vc.prompt_style,
+                score_threshold=vc.score_threshold,
+            )
+            final = ts_results[-1][0]
         restored = np.asarray(restored[0])
 
         stem = os.path.splitext(name)[0]
         save_image(os.path.join(vc.output_dir, f"restored_{stem}.png"), restored)
-        final = ts_results[-1][0]
         overlay = draw_predictions(restored, final)
         save_image(os.path.join(vc.output_dir, f"pred_texts_{stem}.png"), overlay)
 
