@@ -108,28 +108,39 @@ class TeReDiff:
         steps: int = 50,
         cfg_scale: float = 1.0,
         feat_iterations: Tuple[int, ...] = (),
+        negative_tokens: Optional[jnp.ndarray] = None,
+        rescale_cfg: bool = False,
     ):
         """Full restoration: returns (restored [0,1], clean, feats).
 
-        prompt_tokens: [B, 77] int32 (tokenized on host).
+        prompt_tokens: [B, 77] int32 (tokenized on host); negative_tokens
+        enables classifier-free guidance with cfg_scale > 1.
         """
         clean = self.clean(params, lq)
+        c_img = self.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False)
         cond = dict(
             c_txt=self.cldm.clip_encode_tokens(params, prompt_tokens),
-            c_img=self.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False),
+            c_img=c_img,
         )
+        uncond = None
+        if negative_tokens is not None:
+            uncond = dict(
+                c_txt=self.cldm.clip_encode_tokens(params, negative_tokens),
+                c_img=c_img,
+            )
         b, h, w, _ = lq.shape
         zh, zw = h // 8, w // 8
         k_noise, k_chain = jax.random.split(rng)
         x_T = jax.random.normal(k_noise, (b, zh, zw, 4), jnp.float32)
 
         model_fn = partial(self.cldm.apply, params)
-        x0, feats = self.sampler().sample(
+        x0, feats = self.sampler(rescale_cfg=rescale_cfg).sample(
             model_fn,
             steps=steps,
             x_T=x_T,
             cond=cond,
             rng=k_chain,
+            uncond=uncond,
             cfg_scale=cfg_scale,
             feat_iterations=feat_iterations,
         )

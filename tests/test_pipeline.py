@@ -35,3 +35,23 @@ def test_restore_deterministic():
     a, _, _ = model.restore(params, lq, toks, jax.random.PRNGKey(5), steps=2)
     b, _, _ = model.restore(params, lq, toks, jax.random.PRNGKey(5), steps=2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_with_cfg_guidance():
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    toks = jnp.asarray(tokenize(["text"]))
+    neg = jnp.asarray(tokenize([""]))
+    out, _, _ = model.restore(
+        params, lq, toks, jax.random.PRNGKey(2), steps=2,
+        cfg_scale=2.0, negative_tokens=neg, rescale_cfg=True,
+    )
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # CFG with a different scale changes the output
+    out2, _, _ = model.restore(
+        params, lq, toks, jax.random.PRNGKey(2), steps=2,
+        cfg_scale=4.0, negative_tokens=neg,
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
