@@ -14,6 +14,7 @@ enable_compile_cache()
 
 from tair_tpu.spotter.ms_deform_attn import (
     ms_deform_attn_core,
+    ms_deform_attn_core_flat,
     ms_deform_attn_core_patch,
 )
 
@@ -40,3 +41,4 @@ def timeit(name, f, n=10):
 
 timeit("row-gather core", lambda v, l, w: ms_deform_attn_core(v, shapes, l, w))
 timeit("patch-gather core", lambda v, l, w: ms_deform_attn_core_patch(v, shapes, l, w))
+timeit("flat-take core", lambda v, l, w: ms_deform_attn_core_flat(v, shapes, l, w))

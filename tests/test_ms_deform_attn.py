@@ -124,3 +124,26 @@ def test_patch_variant_matches_core():
                                   jnp.asarray(attn))
     )
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_flat_variant_matches_core():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_flat
+
+    rs = np.random.RandomState(7)
+    b, h, d, q, p = 2, 4, 8, 12, 4
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = rs.randn(b, s, h, d).astype(np.float32)
+    locs = rs.uniform(-0.2, 1.2, (b, q, h, len(shapes), p, 2)).astype(np.float32)
+    attn = rs.rand(b, q, h, len(shapes), p).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+
+    ref = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(locs),
+                            jnp.asarray(attn))
+    )
+    out = np.asarray(
+        ms_deform_attn_core_flat(jnp.asarray(value), shapes, jnp.asarray(locs),
+                                 jnp.asarray(attn))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
