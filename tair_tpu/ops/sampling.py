@@ -15,17 +15,21 @@ def bilinear_sample_nhwc(
     y: jnp.ndarray,     # [B, ...] same shape as x
 ) -> jnp.ndarray:       # [B, ..., C]
     b, h, w, c = img.shape
-    flat = img.reshape(b, h * w, c)
+    # flat-take idiom: one 2D row-take is ~5x faster than batched
+    # take_along_axis on TPU (XLA's vectorized gather path)
+    flat = img.reshape(b * h * w, c)
     sample_shape = x.shape[1:]
     x = x.reshape(b, -1)
     y = y.reshape(b, -1)
+    boff = jnp.arange(b, dtype=jnp.int32)[:, None] * (h * w)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
 
-    out = 0.0
+    rows = []
+    wgts = []
     for dx, dy, wgt in (
         (0, 0, (1 - fx) * (1 - fy)),
         (1, 0, fx * (1 - fy)),
@@ -38,6 +42,12 @@ def bilinear_sample_nhwc(
         idx = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)).astype(
             jnp.int32
         )
-        g = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        out = out + g * (wgt * valid)[..., None]
+        rows.append(boff + idx)
+        wgts.append(wgt * valid)
+
+    idx = jnp.stack(rows, -1)                       # [B, N, 4]
+    wgt = jnp.stack(wgts, -1)                       # [B, N, 4]
+    g = jnp.take(flat, idx.reshape(-1), axis=0)
+    g = g.reshape(b, -1, 4, c)
+    out = jnp.einsum("bnkc,bnk->bnc", g, wgt.astype(g.dtype))
     return out.reshape((b,) + sample_shape + (c,))
