@@ -249,6 +249,7 @@ class TeReDiff:
         steps: int = 50,
         score_threshold: float = 0.5,
         max_words: int = 4,
+        spotter_every: int = 1,
     ):
         """Fully-compiled TeReDiff loop: ONE lax.scan where every denoising
         step runs the spotter on the UNet features, assembles the predicted
@@ -284,12 +285,29 @@ class TeReDiff:
                 model_fn, sp, x, total - 1 - i, cond, None, 1.0,
                 jax.random.fold_in(k_chain, i),
             )
-            out = self.spotter_apply(params, feats)
-            res = spotter_inference(out, score_threshold, image_size=h)
-            tokens = splice_tag_prompt(
-                res["recs"], res["scores"], res["keep"], max_words
-            )
-            c_txt = self.cldm.clip_encode_tokens(params, tokens)
+
+            def with_spotting(args):
+                c_txt, tokens = args
+                out = self.spotter_apply(params, feats)
+                res = spotter_inference(out, score_threshold, image_size=h)
+                tokens = splice_tag_prompt(
+                    res["recs"], res["scores"], res["keep"], max_words
+                )
+                return self.cldm.clip_encode_tokens(params, tokens), tokens
+
+            if spotter_every == 1:
+                c_txt, tokens = with_spotting((c_txt, tokens))
+            else:
+                # serving knob: refresh the OCR prompt every k-th step only
+                # (the reference refreshes every step; k>1 trades a little
+                # text-awareness for large speedups since the spotter costs
+                # ~10x a UNet step)
+                c_txt, tokens = jax.lax.cond(
+                    (i % spotter_every) == (spotter_every - 1),
+                    with_spotting,
+                    lambda a: a,
+                    (c_txt, tokens),
+                )
             return (x, c_txt, tokens), None
 
         (x0, _, tokens), _ = jax.lax.scan(

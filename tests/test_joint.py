@@ -95,3 +95,15 @@ def test_fused_feedback_restore():
     assert int(tokens[0, 0]) == 49406  # SOT
     assert (np.asarray(tokens) == 49407).sum() == 1  # one EOT
     assert np.isfinite(np.asarray(restored)).all()
+
+
+def test_fused_feedback_spotter_every_k():
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    restored, tokens = model.restore_fused_feedback(
+        params, lq, jax.random.PRNGKey(2), steps=4, score_threshold=0.0,
+        spotter_every=2,
+    )
+    assert restored.shape == (1, 64, 64, 3)
+    assert int(tokens[0, 0]) == 49406
