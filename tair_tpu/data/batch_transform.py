@@ -20,7 +20,6 @@ per-element draws.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -19,13 +19,13 @@ import os
 import random
 import threading
 import queue as queue_mod
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
 from ..models.tokenizer import tokenize
-from ..spotter.charset import MAX_WORD_LEN, PAD_ID, decode_text, encode_text, is_encodable
+from ..spotter.charset import MAX_WORD_LEN, PAD_ID, encode_text, is_encodable
 from .kernels import sample_degradation_kernels
 
 MAX_INSTANCES = 32

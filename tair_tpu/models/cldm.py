@@ -10,7 +10,7 @@ stage, shard with pjit, and checkpoint with orbax.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple, Union
 
 import jax

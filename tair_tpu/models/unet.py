@@ -17,7 +17,7 @@ Design departures from the torch reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp

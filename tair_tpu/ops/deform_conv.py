@@ -12,7 +12,7 @@ instead of hand-written atomics. Modulated (v2) adds the per-sample mask.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -96,15 +96,16 @@ def flash_attention(
         vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
 
     grid = (b * h, (tq + pad_q) // bq)
+    mem = {} if interpret else {"memory_space": pltpu.VMEM}
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=bk, scale=scale, kv_len=tk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, tk + pad_k, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, tk + pad_k, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0), **mem),
+            pl.BlockSpec((None, tk + pad_k, d), lambda i, j: (i, 0, 0), **mem),
+            pl.BlockSpec((None, tk + pad_k, d), lambda i, j: (i, 0, 0), **mem),
         ],
-        out_specs=pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0), **mem),
         out_shape=jax.ShapeDtypeStruct((b * h, tq + pad_q, d), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)

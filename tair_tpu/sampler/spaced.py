@@ -16,7 +16,6 @@ Python-side accumulation, so memory stays at n_tags x feature pyramid.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax

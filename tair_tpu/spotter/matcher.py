@@ -11,7 +11,6 @@ dense [B, M] query index per target (-1 for padding) — jit-friendly.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax

@@ -20,7 +20,7 @@ features at inference, and training uses the same static graph).
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ per-image view, plus box-format conversions.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Iterator, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

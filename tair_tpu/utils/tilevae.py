@@ -11,7 +11,7 @@ reference's zigzag task queue equalizes explicitly. NaN tripwire retained
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
