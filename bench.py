@@ -35,7 +35,9 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, latent_hw=8)
 
-    batch = 1
+    import os
+
+    batch = int(os.environ.get("TAIR_BENCH_BATCH", "4"))
     steps = 50
     lq = jax.random.uniform(jax.random.PRNGKey(1), (batch, 512, 512, 3))
 
