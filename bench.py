@@ -31,9 +31,11 @@ def main() -> None:
     enable_compile_cache()
     enable_inference_kernels()
 
+    from tair_tpu.pipeline import cast_params_for_inference
+
     model = build_default_model(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, latent_hw=8)
+    params = cast_params_for_inference(model.init(rng, latent_hw=8))
 
     import os
 

@@ -339,6 +339,16 @@ class TeReDiff:
         return fn
 
 
+def cast_params_for_inference(params, dtype=jnp.bfloat16):
+    """Cast weights to bf16 for serving: halves HBM weight traffic (the UNet
+    is weight-bound at small batch). Norm scales upcast back inside the
+    fp32 norm islands, so quality impact is negligible; training keeps fp32
+    master weights."""
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params
+    )
+
+
 def build_default_model(dtype=jnp.bfloat16) -> TeReDiff:
     """Production TAIR geometry (SD-2.1 + SwinIR-TAIR)."""
     from .models.clip import CLIPTextConfig

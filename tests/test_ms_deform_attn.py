@@ -147,3 +147,25 @@ def test_flat_variant_matches_core():
                                  jnp.asarray(attn))
     )
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_flat_variant_chunked_matches():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_flat
+
+    rs = np.random.RandomState(9)
+    b, h, d, q, p = 1, 2, 4, 37, 2  # q not divisible by chunk
+    shapes = ((4, 4), (3, 3))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = rs.randn(b, s, h, d).astype(np.float32)
+    locs = rs.uniform(0, 1, (b, q, h, len(shapes), p, 2)).astype(np.float32)
+    attn = rs.rand(b, q, h, len(shapes), p).astype(np.float32)
+
+    full = np.asarray(
+        ms_deform_attn_core_flat(jnp.asarray(value), shapes, jnp.asarray(locs),
+                                 jnp.asarray(attn), q_chunk=4096)
+    )
+    chunked = np.asarray(
+        ms_deform_attn_core_flat(jnp.asarray(value), shapes, jnp.asarray(locs),
+                                 jnp.asarray(attn), q_chunk=8)
+    )
+    np.testing.assert_allclose(chunked, full, atol=1e-5)

@@ -55,3 +55,16 @@ def test_restore_with_cfg_guidance():
         cfg_scale=4.0, negative_tokens=neg,
     )
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_cast_params_for_inference():
+    from tair_tpu.pipeline import cast_params_for_inference
+
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    bf = cast_params_for_inference(params)
+    assert all(p.dtype == jnp.bfloat16 for p in jax.tree.leaves(bf))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    toks = jnp.asarray(tokenize([""]))
+    out, _, _ = model.restore(bf, lq, toks, jax.random.PRNGKey(2), steps=2)
+    assert np.isfinite(np.asarray(out)).all()
