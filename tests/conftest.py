@@ -36,11 +36,25 @@ if (
     any(m in os.environ for m in _AXON_MARKERS)
     and "_TAIR_TPU_TEST_REEXEC" not in os.environ
 ):
-    os.execve(
-        sys.executable,
+    import subprocess
+
+    # The parent pytest has already fd-captured stdout, so the child's
+    # stream may be invisible in this process's output; tee it to a log.
+    log_path = os.path.join(os.path.dirname(__file__), "..", "pytest_child.log")
+    proc = subprocess.Popen(
         [sys.executable, "-m", "pytest"] + sys.argv[1:],
-        _sanitized_env(),
+        env=_sanitized_env(),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
     )
+    with open(log_path, "wb") as log:
+        for line in proc.stdout:
+            log.write(line)
+            try:
+                os.write(1, line)
+            except OSError:
+                pass
+    os._exit(proc.wait())
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
