@@ -40,6 +40,11 @@ def test_restore_deterministic():
 def test_restore_with_cfg_guidance():
     model = build_tiny_model()
     params = model.init(jax.random.PRNGKey(0))
+    # the SD output conv is zero-init, which makes a fresh model emit eps=0
+    # independent of conditioning; de-zero it so CFG has something to scale
+    params["unet"]["out_conv"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["unet"]["out_conv"]["kernel"].shape
+    ) * 0.1
     lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
     toks = jnp.asarray(tokenize(["text"]))
     neg = jnp.asarray(tokenize([""]))
