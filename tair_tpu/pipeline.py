@@ -269,9 +269,16 @@ class TeReDiff:
         total = sp.num_steps
         b, h, w, _ = lq.shape
 
+        from .models.tokenizer import get_tokenizer
+
+        tok = get_tokenizer()
         clean = self.clean(params, lq)
         c_img = self.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False)
-        empty = jnp.zeros((b, 77), jnp.int32).at[:, 0].set(49406).at[:, 1].set(49407)
+        empty = (
+            jnp.zeros((b, 77), jnp.int32)
+            .at[:, 0].set(tok.sot_token)
+            .at[:, 1].set(tok.eot_token)
+        )
         c_txt0 = self.cldm.clip_encode_tokens(params, empty)
 
         model_fn = partial(self.cldm.apply, params)
