@@ -169,3 +169,22 @@ def test_flat_variant_chunked_matches():
                                  jnp.asarray(attn), q_chunk=8)
     )
     np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+
+def test_flat_chunked_gradients():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_flat
+
+    shapes = ((4, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = jnp.asarray(np.random.RandomState(1).randn(1, s, 2, 4), jnp.float32)
+    locs = jnp.full((1, 30, 2, 2, 2, 2), 0.5)
+    attn = jnp.full((1, 30, 2, 2, 2), 0.25)
+
+    def f(v, l, a, chunk):
+        return ms_deform_attn_core_flat(v, shapes, l, a, q_chunk=chunk).sum()
+
+    g_full = jax.grad(f, argnums=(0, 1, 2))(value, locs, attn, 4096)
+    g_chunk = jax.grad(f, argnums=(0, 1, 2))(value, locs, attn, 8)
+    for a, b in zip(g_full, g_chunk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert np.abs(np.asarray(g_full[0])).sum() > 0
