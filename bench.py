@@ -52,8 +52,14 @@ def main() -> None:
         # scalar reduction forces full materialization on fetch
         return jnp.mean(restored)
 
-    # compile + warmup (fetch the scalar: a real device->host sync)
-    float(run(params, lq, jax.random.PRNGKey(2)))
+    # compile + warmup (fetch the scalar: a real device->host sync); one
+    # retry in case the device worker needs a moment to recover from a
+    # previous session's fault
+    try:
+        float(run(params, lq, jax.random.PRNGKey(2)))
+    except Exception:
+        time.sleep(60)
+        float(run(params, lq, jax.random.PRNGKey(2)))
 
     n_iter = 3
     t0 = time.perf_counter()
