@@ -93,3 +93,122 @@ def test_controlnet_from_unet_zero_pad_init():
     np.testing.assert_allclose(
         np.asarray(controlled), np.asarray(base), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# VAE / CLIP / SwinIR / TESTR round trips (same pattern as the UNet one)
+# ---------------------------------------------------------------------------
+
+def _assert_tree_equal(converted, params):
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+    missing = [str(p) for p, _ in flat_a if p not in flat_b]
+    extra = [str(p) for p in flat_b if p not in dict(flat_a)]
+    assert not missing and not extra, f"missing={missing} extra={extra}"
+    for path, v in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat_b[path]), err_msg=str(path)
+        )
+
+
+def test_vae_convert_roundtrip():
+    from tair_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tair_tpu.weights.convert import convert_vae
+    from tair_tpu.weights.export import export_vae
+
+    cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    model = AutoencoderKL(cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    sd = export_vae(params, cfg, prefix="first_stage_model.")
+    converted, reader = convert_vae(sd, cfg, prefix="first_stage_model.")
+    assert reader.unused() == set()
+    assert reader.missing == set()
+    _assert_tree_equal(converted, params)
+
+    # and a forward check through the converted weights
+    xr = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    a = model.apply({"params": params}, xr)[0]
+    b = model.apply({"params": jax.tree.map(jnp.asarray, converted)}, xr)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_clip_convert_roundtrip():
+    from tair_tpu.models.clip import CLIPTextConfig, CLIPTextTower
+    from tair_tpu.weights.convert import convert_clip
+    from tair_tpu.weights.export import export_clip
+
+    cfg = CLIPTextConfig(
+        context_length=8, vocab_size=64, width=32, heads=4, layers=3
+    )
+    model = CLIPTextTower(cfg)
+    toks = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)["params"]
+
+    sd = export_clip(params, cfg, prefix="cond_stage_model.model.")
+    converted, reader = convert_clip(sd, cfg, prefix="cond_stage_model.model.")
+    assert reader.unused() == set()
+    assert reader.missing == set()
+    _assert_tree_equal(converted, params)
+
+    toks = jnp.asarray([[1, 5, 9, 2, 0, 0, 0, 63]], jnp.int32)
+    a = model.apply({"params": params}, toks)
+    b = model.apply({"params": jax.tree.map(jnp.asarray, converted)}, toks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_swinir_convert_roundtrip():
+    from tair_tpu.models.swinir import SwinIR, SwinIRConfig
+    from tair_tpu.weights.convert import convert_swinir
+    from tair_tpu.weights.export import export_swinir
+
+    cfg = SwinIRConfig(
+        embed_dim=16, depths=(2, 2), num_heads=(2, 2), window_size=2,
+        num_feat=8,
+    )
+    model = SwinIR(cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    # exercise the reference's DDP "module." prefix strip (initialize.py:110-118)
+    sd = {f"module.{k}": v for k, v in export_swinir(params, cfg).items()}
+    converted, reader = convert_swinir(sd, cfg)
+    assert reader.unused() == set()
+    assert reader.missing == set()
+    _assert_tree_equal(converted, params)
+
+    xr = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    a = model.apply({"params": params}, xr)
+    b = model.apply({"params": jax.tree.map(jnp.asarray, converted)}, xr)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_testr_convert_roundtrip():
+    from tair_tpu.spotter.testr import TESTR, TESTRConfig
+    from tair_tpu.weights.convert import convert_testr
+    from tair_tpu.weights.export import export_testr
+
+    cfg = TESTRConfig(
+        d_model=32, n_heads=4, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=32, num_feature_levels=2, num_proposals=8,
+        num_ctrl_points=4, num_chars=5, voc_size=10, in_channels=(8, 8),
+    )
+    model = TESTR(cfg)
+    feats = (jnp.zeros((1, 8, 8, 8)), jnp.zeros((1, 4, 4, 8)))
+    params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+    sd = export_testr(params, cfg)
+    converted, reader = convert_testr(sd, cfg)
+    assert reader.unused() == set()
+    assert reader.missing == set()
+    _assert_tree_equal(converted, params)
+
+    feats = tuple(
+        jax.random.normal(jax.random.PRNGKey(i + 1), f.shape) for i, f in enumerate(feats)
+    )
+    a = model.apply({"params": params}, feats)["pred_logits"]
+    b = model.apply(
+        {"params": jax.tree.map(jnp.asarray, converted)}, feats
+    )["pred_logits"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
