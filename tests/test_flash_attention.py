@@ -50,3 +50,49 @@ def test_flash_custom_scale():
     out = flash_attention(q, k, v, scale=0.5, block_q=16, block_k=16,
                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "b,tq,tk,h,d",
+    [
+        (1, 64, 64, 2, 32),
+        (2, 100, 77, 2, 32),   # ragged q and kv (padding in both grids)
+    ],
+)
+def test_flash_backward_matches_einsum(b, tq, tk, h, d):
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (b, tq, h, d))
+    k = jax.random.normal(ks[1], (b, tk, h, d))
+    v = jax.random.normal(ks[2], (b, tk, h, d))
+    cot = jax.random.normal(ks[3], (b, tq, h, d))
+
+    def loss_ref(q, k, v):
+        return jnp.vdot(einsum_sdpa(q, k, v), cot)
+
+    def loss_flash(q, k, v):
+        return jnp.vdot(
+            flash_attention(q, k, v, block_q=32, block_k=32, interpret=True),
+            cot,
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, o in zip("qkv", g_ref, g_out):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(a), atol=5e-5, err_msg=f"d{name}"
+        )
+
+
+def test_flash_backward_custom_scale():
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(ks[0], (1, 48, 1, 16))
+    k = jax.random.normal(ks[1], (1, 40, 1, 16))
+    v = jax.random.normal(ks[2], (1, 40, 1, 16))
+
+    def f(fn):
+        return jax.grad(lambda q: fn(q).sum())(q)
+
+    g_ref = f(lambda q: einsum_sdpa(q, k, v, scale=0.3))
+    g_out = f(lambda q: flash_attention(q, k, v, scale=0.3, block_q=16,
+                                        block_k=16, interpret=True))
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=5e-5)

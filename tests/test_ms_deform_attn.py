@@ -188,3 +188,55 @@ def test_flat_chunked_gradients():
     for a, b in zip(g_full, g_chunk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     assert np.abs(np.asarray(g_full[0])).sum() > 0
+
+
+def test_flatpatch_variant_matches_core():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_flatpatch
+
+    rs = np.random.RandomState(11)
+    b, h, d, q, p = 2, 4, 8, 12, 4
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = rs.randn(b, s, h, d).astype(np.float32)
+    locs = rs.uniform(-0.2, 1.2, (b, q, h, len(shapes), p, 2)).astype(np.float32)
+    attn = rs.rand(b, q, h, len(shapes), p).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+
+    ref = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(locs),
+                            jnp.asarray(attn))
+    )
+    out = np.asarray(
+        ms_deform_attn_core_flatpatch(jnp.asarray(value), shapes,
+                                      jnp.asarray(locs), jnp.asarray(attn))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_flatpatch_chunked_and_grads():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_flatpatch
+
+    rs = np.random.RandomState(13)
+    b, h, d, q, p = 1, 2, 4, 37, 2
+    shapes = ((4, 4), (3, 3))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = jnp.asarray(rs.randn(b, s, h, d), jnp.float32)
+    locs = jnp.asarray(rs.uniform(-0.1, 1.1, (b, q, h, 2, p, 2)), jnp.float32)
+    attn = jnp.asarray(rs.rand(b, q, h, 2, p), jnp.float32)
+
+    full = np.asarray(
+        ms_deform_attn_core_flatpatch(value, shapes, locs, attn, q_chunk=4096)
+    )
+    chunked = np.asarray(
+        ms_deform_attn_core_flatpatch(value, shapes, locs, attn, q_chunk=8)
+    )
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+    def f(v, l, a, chunk):
+        return ms_deform_attn_core_flatpatch(v, shapes, l, a, q_chunk=chunk).sum()
+
+    g_full = jax.grad(f, argnums=(0, 1, 2))(value, locs, attn, 4096)
+    g_chunk = jax.grad(f, argnums=(0, 1, 2))(value, locs, attn, 8)
+    for ga, gb in zip(g_full, g_chunk):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+    assert np.abs(np.asarray(g_full[0])).sum() > 0
