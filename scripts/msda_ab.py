@@ -15,6 +15,7 @@ enable_compile_cache()
 from tair_tpu.spotter.ms_deform_attn import (
     ms_deform_attn_core,
     ms_deform_attn_core_flat,
+    ms_deform_attn_core_flatpatch,
     ms_deform_attn_core_patch,
 )
 
@@ -42,3 +43,25 @@ def timeit(name, f, n=10):
 timeit("row-gather core", lambda v, l, w: ms_deform_attn_core(v, shapes, l, w))
 timeit("patch-gather core", lambda v, l, w: ms_deform_attn_core_patch(v, shapes, l, w))
 timeit("flat-take core", lambda v, l, w: ms_deform_attn_core_flat(v, shapes, l, w))
+timeit("flatpatch core", lambda v, l, w: ms_deform_attn_core_flatpatch(v, shapes, l, w))
+timeit("flatpatch q4736", lambda v, l, w: ms_deform_attn_core_flatpatch(v, shapes, l, w, q_chunk=4736))
+timeit("flat q4736", lambda v, l, w: ms_deform_attn_core_flat(v, shapes, l, w, q_chunk=4736))
+
+# decoder cross-attn shapes
+qd = 100 * 41
+locs_d = jax.random.uniform(jax.random.PRNGKey(3), (B, qd, H, L, P, 2))
+w_d = jax.nn.softmax(
+    jax.random.normal(jax.random.PRNGKey(4), (B, qd, H, L, P)).reshape(B, qd, H, -1)
+).reshape(B, qd, H, L, P)
+
+def timeit_d(name, f, n=10):
+    jf = jax.jit(f)
+    a = float(jnp.mean(jf(value, locs_d, w_d).astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(jnp.mean(jf(value, locs_d, w_d).astype(jnp.float32)))
+    print(f"{name}: {(time.perf_counter() - t0) / n * 1000:.1f} ms (mean={a:.5f})",
+          flush=True)
+
+timeit_d("dec flat-take", lambda v, l, w: ms_deform_attn_core_flat(v, shapes, l, w))
+timeit_d("dec flatpatch", lambda v, l, w: ms_deform_attn_core_flatpatch(v, shapes, l, w))

@@ -111,58 +111,87 @@ def evaluate_dataset(
     }
 
 
-def average_precision(
+def _pairwise_ious(
     all_gts: Sequence[Sequence[SpottingInstance]],
     all_preds: Sequence[Sequence[SpottingInstance]],
-    iou_thresholds: Sequence[float] = (0.5,),
-) -> Dict[str, float]:
-    """COCO-style average precision over polygon IoU.
+):
+    """Per-image [n_pred, n_gt] polygon-IoU matrices and pred scores."""
+    ious, scores = [], []
+    for gts, preds in zip(all_gts, all_preds):
+        m = np.zeros((len(preds), len(gts)), np.float32)
+        for i, pr in enumerate(preds):
+            for j, gt in enumerate(gts):
+                m[i, j] = polygon_iou(pr.polygon, gt.polygon)
+        ious.append(m)
+        scores.append(np.asarray([p.score for p in preds], np.float32))
+    return ious, scores
 
-    Counterpart of the vendored fast cocoeval
-    (/root/reference/detectron2/detectron2/layers/csrc/cocoeval/) for the
-    text-spotting detection task: score-ranked greedy matching per IoU
-    threshold, 101-point interpolated AP, reported per threshold and as the
-    mean ("ap" over the given thresholds, e.g. [.5:.95]).
-    """
-    results = {}
+
+def _ap_accumulate_py(ious, scores, thresholds):
+    """Pure-Python AP accumulation — the oracle for native/cocoeval.cpp."""
+    total_gt = sum(m.shape[1] for m in ious)
     aps = []
-    for thr in iou_thresholds:
-        scored = []  # (score, is_tp)
-        n_gt = 0
-        for gts, preds in zip(all_gts, all_preds):
-            n_gt += len(gts)
-            order = sorted(range(len(preds)), key=lambda i: -preds[i].score)
-            taken = [False] * len(gts)
-            for i in order:
-                best, best_iou = -1, thr
-                for j, gt in enumerate(gts):
-                    if taken[j]:
-                        continue
-                    iou = polygon_iou(preds[i].polygon, gt.polygon)
-                    if iou >= best_iou:
-                        best, best_iou = j, iou
-                if best >= 0:
-                    taken[best] = True
-                    scored.append((preds[i].score, 1))
-                else:
-                    scored.append((preds[i].score, 0))
-        if n_gt == 0:
-            results[f"ap{int(thr * 100)}"] = 0.0
+    for thr in thresholds:
+        if total_gt == 0:
             aps.append(0.0)
             continue
+        scored = []  # (score, is_tp)
+        for m, sc in zip(ious, scores):
+            order = np.argsort(-sc, kind="stable")
+            taken = [False] * m.shape[1]
+            for i in order:
+                best, best_iou = -1, thr
+                for j in range(m.shape[1]):
+                    if taken[j]:
+                        continue
+                    if m[i, j] >= best_iou:
+                        best, best_iou = j, m[i, j]
+                if best >= 0:
+                    taken[best] = True
+                    scored.append((float(sc[i]), 1))
+                else:
+                    scored.append((float(sc[i]), 0))
         scored.sort(key=lambda x: -x[0])
         tp = np.cumsum([s[1] for s in scored]) if scored else np.zeros(0)
         fp = np.cumsum([1 - s[1] for s in scored]) if scored else np.zeros(0)
-        recall = tp / n_gt
+        recall = tp / total_gt
         precision = tp / np.maximum(tp + fp, 1e-9)
         # 101-point interpolation
         ap = 0.0
         for r in np.linspace(0, 1, 101):
             p = precision[recall >= r].max() if (recall >= r).any() else 0.0
             ap += p / 101
-        results[f"ap{int(thr * 100)}"] = float(ap)
         aps.append(float(ap))
-    results["ap"] = float(np.mean(aps))
+    return np.asarray(aps, np.float64)
+
+
+def average_precision(
+    all_gts: Sequence[Sequence[SpottingInstance]],
+    all_preds: Sequence[Sequence[SpottingInstance]],
+    iou_thresholds: Sequence[float] = (0.5,),
+    use_native: bool = True,
+) -> Dict[str, float]:
+    """COCO-style average precision over polygon IoU.
+
+    Counterpart of the vendored fast cocoeval
+    (/root/reference/detectron2/detectron2/layers/csrc/cocoeval/): polygon
+    IoUs are computed once in Python (as detectron2's COCOeval does), then
+    the per-threshold score-ranked greedy matching and 101-point-interpolated
+    AP accumulation run in native C++ (native/cocoeval.cpp via ctypes), with
+    a pure-Python fallback of identical semantics.
+    """
+    ious, scores = _pairwise_ious(all_gts, all_preds)
+    aps = None
+    if use_native:
+        from ..native_ext import coco_ap
+
+        aps = coco_ap(ious, scores, list(iou_thresholds))
+    if aps is None:
+        aps = _ap_accumulate_py(ious, scores, iou_thresholds)
+    results = {
+        f"ap{int(thr * 100)}": float(a) for thr, a in zip(iou_thresholds, aps)
+    }
+    results["ap"] = float(np.mean(aps)) if len(aps) else 0.0
     return results
 
 

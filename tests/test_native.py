@@ -71,3 +71,75 @@ def test_native_used_by_matcher(lib):
     assert abs(
         _total_cost(cost, out, [3, 2]) - _total_cost(cost, ref, [3, 2])
     ) < 1e-4
+
+
+def test_coco_ap_matches_python_accumulator(lib):
+    """native/cocoeval.cpp vs the pure-Python oracle on synthetic IoUs."""
+    from tair_tpu.native_ext import coco_ap
+    from tair_tpu.utils.text_eval import _ap_accumulate_py
+
+    rs = np.random.RandomState(42)
+    ious, scores = [], []
+    for n_pred, n_gt in [(8, 5), (0, 3), (6, 0), (12, 12), (1, 1)]:
+        ious.append(rs.rand(n_pred, n_gt).astype(np.float32))
+        scores.append(rs.rand(n_pred).astype(np.float32))
+    thresholds = [0.3, 0.5, 0.75, 0.95]
+
+    native = coco_ap(ious, scores, thresholds)
+    assert native is not None
+    ref = _ap_accumulate_py(ious, scores, thresholds)
+    np.testing.assert_allclose(native, ref, atol=1e-9)
+    assert 0.0 < native[0] <= 1.0  # random IoUs at thr .3 must match some
+
+
+def test_coco_ap_empty_and_no_gt(lib):
+    from tair_tpu.native_ext import coco_ap
+    from tair_tpu.utils.text_eval import _ap_accumulate_py
+
+    # no gt at all -> AP 0 by convention
+    ious = [np.zeros((4, 0), np.float32)]
+    scores = [np.asarray([0.9, 0.8, 0.7, 0.6], np.float32)]
+    native = coco_ap(ious, scores, [0.5])
+    np.testing.assert_allclose(native, [0.0])
+    np.testing.assert_allclose(_ap_accumulate_py(ious, scores, [0.5]), [0.0])
+
+    # no images
+    np.testing.assert_allclose(coco_ap([], [], [0.5]), [0.0])
+
+
+def test_average_precision_native_vs_python_end_to_end():
+    """Full average_precision through polygons: native and Python paths agree."""
+    from tair_tpu.utils.text_eval import SpottingInstance, average_precision
+
+    rs = np.random.RandomState(7)
+
+    def rand_box(cx, cy, w, h):
+        return np.asarray(
+            [[cx - w, cy - h], [cx + w, cy - h], [cx + w, cy + h], [cx - w, cy + h]],
+            np.float32,
+        )
+
+    all_gts, all_preds = [], []
+    for _ in range(3):
+        gts = [
+            SpottingInstance(rand_box(*rs.uniform(30, 200, 2), *rs.uniform(8, 30, 2)), "x")
+            for _ in range(4)
+        ]
+        preds = [
+            SpottingInstance(
+                g.polygon + rs.uniform(-4, 4, g.polygon.shape).astype(np.float32),
+                "x",
+                float(rs.rand()),
+            )
+            for g in gts[:3]
+        ] + [
+            SpottingInstance(rand_box(400, 400, 10, 10), "y", float(rs.rand()))
+        ]
+        all_gts.append(gts)
+        all_preds.append(preds)
+
+    a = average_precision(all_gts, all_preds, (0.5, 0.75), use_native=True)
+    b = average_precision(all_gts, all_preds, (0.5, 0.75), use_native=False)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-9, err_msg=k)
+    assert a["ap50"] > 0.3
