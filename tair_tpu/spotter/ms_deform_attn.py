@@ -277,6 +277,7 @@ def ms_deform_attn_core_flatpatch(
     attention_weights: jnp.ndarray,     # [B, Q, H, L, P]
     q_chunk: int = 2048,
     value_patched: jnp.ndarray | None = None,
+    reduce: str = "mxu",
 ) -> jnp.ndarray:                       # [B, Q, H*D]
     """Patchified flat-take: ONE [4*D]-wide row-take per sample point (the
     2x2 bilinear patch pre-packed by patchify_value) instead of four [D]-wide
@@ -285,7 +286,14 @@ def ms_deform_attn_core_flatpatch(
     the actual patch coordinates (cf. ms_deform_attn_core_patch).
 
     For D=32/bf16 the gathered rows are exactly 128 lanes, so the take is
-    unpadded — 4x less gather traffic than ms_deform_attn_core_flat."""
+    unpadded — 4x less gather traffic than ms_deform_attn_core_flat.
+
+    reduce="mxu": the corner weighting/reduction stays in the gathered
+    128-lane layout — corner weights are broadcast lane-wise with a static
+    [4, 4D] matmul, and the 4-corner segment sum is a static [4D, D] matmul —
+    so no reshape ever splits the lane dimension back to D (which would
+    re-introduce the 4x padding). reduce="einsum" is the straightforward
+    contraction, kept as a reference."""
     b, s, h, d = value.shape
     _, q, _, n_levels, n_points, _ = sampling_locations.shape
     assert len(spatial_shapes) == n_levels
@@ -303,7 +311,7 @@ def ms_deform_attn_core_flatpatch(
         wts = wts.reshape(b, n_chunks, q_chunk, h, n_levels, n_points)
         out = jax.lax.map(
             lambda args: ms_deform_attn_core_flatpatch(
-                value, spatial_shapes, args[0], args[1], q_chunk, vp
+                value, spatial_shapes, args[0], args[1], q_chunk, vp, reduce
             ),
             (locs.transpose(1, 0, 2, 3, 4, 5, 6), wts.transpose(1, 0, 2, 3, 4, 5)),
         )  # [n_chunks, B, q_chunk, H*D]
@@ -356,10 +364,26 @@ def ms_deform_attn_core_flatpatch(
     idx = jnp.stack(rows, axis=-1)    # [B, Q, H, P, L]
     wgt = jnp.stack(wgts, axis=-2)    # [B, Q, H, P, L, 4]
     g = jnp.take(vp, idx.reshape(-1), axis=0)
-    g = g.reshape(b, q, h, n_points, n_levels, 4, d)
-    out = jnp.einsum(
-        "bqhplcd,bqhplc->bqhd", g, wgt, preferred_element_type=jnp.float32
-    )
+    if reduce == "einsum":
+        g = g.reshape(b, q, h, n_points, n_levels, 4, d)
+        out = jnp.einsum(
+            "bqhplcd,bqhplc->bqhd", g, wgt, preferred_element_type=jnp.float32
+        )
+    else:
+        k = n_points * n_levels
+        g = g.reshape(b, q, h, k, 4 * d)
+        # broadcast each corner weight over its d lanes: [.., 4] @ [4, 4d]
+        spread = jnp.repeat(jnp.eye(4, dtype=g.dtype), d, axis=1)  # [4, 4d]
+        w_lanes = jax.lax.dot_general(
+            wgt.reshape(b, q, h, k, 4).astype(g.dtype), spread,
+            (((4,), (0,)), ((), ())), preferred_element_type=g.dtype,
+        )  # [B, Q, H, K, 4d]
+        # segment-sum the 4 corners (and K) with a static [4d, d] matmul
+        seg = jnp.tile(jnp.eye(d, dtype=g.dtype), (4, 1))  # [4d, d]
+        out = jnp.einsum(
+            "bqhkC,Cd->bqhd", g * w_lanes, seg,
+            preferred_element_type=jnp.float32,
+        )
     return out.reshape(b, q, h * d).astype(value.dtype)
 
 
@@ -387,6 +411,11 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: Dtype = jnp.float32
+    # gather core: "flat" wins at small Q (decoder cross-attn; the patchify
+    # build is not amortized there), "flatpatch" wins at encoder shapes
+    # (Q=S~9.5k) where the unpadded 128-lane rows cut gather traffic 4x.
+    core: str = "flat"
+    q_chunk: int = 2048
 
     @nn.compact
     def __call__(self, query, reference_points, value_flatten, spatial_shapes):
@@ -433,9 +462,13 @@ class MSDeformAttn(nn.Module):
                 + offsets / p * reference_points[:, :, None, :, None, 2:] * 0.5
             )
 
-        # flat-take formulation: 3.5x faster than the batched row gather on
-        # v5e at encoder shapes (same math; parity-tested against the oracle)
-        out = ms_deform_attn_core_flat(value, spatial_shapes, loc, attn)
+        # flat-take formulations: 3.5x faster than the batched row gather on
+        # v5e (same math; parity-tested against the oracle); see `core` doc
+        core_fn = {
+            "flat": ms_deform_attn_core_flat,
+            "flatpatch": ms_deform_attn_core_flatpatch,
+        }[self.core]
+        out = core_fn(value, spatial_shapes, loc, attn, q_chunk=self.q_chunk)
         return nn.Dense(
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="output_proj"
         )(out)

@@ -50,6 +50,12 @@ class TESTRConfig:
     voc_size: int = 96                # char vocabulary (plus 1 for EOS/blank)
     in_channels: Tuple[int, ...] = (1280, 1280, 640, 320)
     test_score_threshold: float = 0.5  # val.py:133 overrides 0.45 -> 0.5
+    # encoder msda query chunk; 16384 = unchunked at inference shapes,
+    # lower it for large-batch training to bound autodiff residuals
+    enc_msda_q_chunk: int = 16384
+    # remat encoder/decoder layers (training: recompute msda gathers instead
+    # of keeping them as autodiff residuals; mirrors UNetConfig.use_checkpoint)
+    use_checkpoint: bool = False
 
 
 class DiffFeatProj(nn.Module):
@@ -126,6 +132,8 @@ class TESTR(nn.Module):
                 enc_n_points=cfg.enc_n_points,
                 dec_n_points=cfg.dec_n_points,
                 num_proposals=cfg.num_proposals,
+                enc_msda_q_chunk=cfg.enc_msda_q_chunk,
+                use_checkpoint=cfg.use_checkpoint,
                 dtype=self.dtype,
                 name="transformer",
             )(srcs, pos, ctrl_point_embed, text_embed, text_pos_embed)

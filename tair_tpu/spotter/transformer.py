@@ -140,13 +140,18 @@ class EncoderLayer(nn.Module):
     n_heads: int
     n_points: int
     dtype: Dtype = jnp.float32
+    # large chunk = unchunked at inference shapes (Q=S~9.5k): measured 10.2ms
+    # vs 13.9ms chunked on v5e. Training (autodiff residuals at batch>=2) can
+    # lower this via TESTRConfig.enc_msda_q_chunk.
+    msda_q_chunk: int = 16384
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         q = src + pos
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, core="flatpatch", q_chunk=self.msda_q_chunk,
+            name="self_attn",
         )(q, reference_points, src, spatial_shapes)
         src = _ln("norm1")(src + src2).astype(self.dtype)
         h = nn.relu(_dense(self.d_ffn, self.dtype, "linear1")(src))
@@ -266,6 +271,10 @@ class DeformableTransformer(nn.Module):
     enc_n_points: int = 4
     dec_n_points: int = 4
     num_proposals: int = 100
+    enc_msda_q_chunk: int = 16384
+    # gradient checkpointing per encoder/decoder layer (training memory: the
+    # msda gather intermediates are the big residuals; remat recomputes them)
+    use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -296,10 +305,22 @@ class DeformableTransformer(nn.Module):
         ref = jnp.asarray(encoder_reference_points(spatial_shapes))[None]
         ref = jnp.broadcast_to(ref, (b,) + ref.shape[1:])
         memory = src_flat
+        # spatial_shapes is a static Python tuple -> static_argnums under remat
+        enc_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4,))
+            if self.use_checkpoint
+            else EncoderLayer
+        )
+        dec_cls = (
+            nn.remat(CompositeDecoderLayer, static_argnums=(7,))
+            if self.use_checkpoint
+            else CompositeDecoderLayer
+        )
         for i in range(self.num_encoder_layers):
-            memory = EncoderLayer(
+            memory = enc_cls(
                 c, self.d_ffn, self.n_levels, self.n_heads, self.enc_n_points,
-                dtype=self.dtype, name=f"enc_{i}",
+                dtype=self.dtype, msda_q_chunk=self.enc_msda_q_chunk,
+                name=f"enc_{i}",
             )(memory, pos_flat, ref, spatial_shapes)
 
         # two-stage proposals
@@ -352,7 +373,7 @@ class DeformableTransformer(nn.Module):
 
         hs, hs_text = [], []
         for i in range(self.num_decoder_layers):
-            tgt, tgt_text = CompositeDecoderLayer(
+            tgt, tgt_text = dec_cls(
                 c, self.d_ffn, self.n_levels, self.n_heads, self.dec_n_points,
                 dtype=self.dtype, name=f"dec_{i}",
             )(tgt, qp, tgt_text, text_pos_embed, ref_input, memory, spatial_shapes)

@@ -140,3 +140,36 @@ def test_inference_decode():
     assert res["recs"].shape == (2, TINY.num_proposals, TINY.num_chars)
     texts = [decode_text(r) for r in np.asarray(res["recs"][0])]
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_testr_remat_gradients_match():
+    """use_checkpoint=True (layer remat) must not change gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tair_tpu.spotter.testr import TESTR, TESTRConfig
+
+    kw = dict(d_model=32, n_heads=4, num_encoder_layers=1, num_decoder_layers=1,
+              dim_feedforward=32, num_feature_levels=2, num_proposals=8,
+              num_ctrl_points=4, num_chars=5, voc_size=10, in_channels=(8, 8))
+    feats = (jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8)),
+             jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 8)))
+    m0 = TESTR(TESTRConfig(**kw))
+    m1 = TESTR(TESTRConfig(**kw, use_checkpoint=True))
+    p = m0.init(jax.random.PRNGKey(0), feats)
+
+    def loss(m):
+        return lambda p: jnp.sum(
+            m.apply(p, feats)["pred_logits"].astype(jnp.float32) ** 2
+        )
+
+    g0 = jax.grad(loss(m0))(p)
+    g1 = jax.grad(loss(m1))(p)
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g0)[0],
+        jax.tree_util.tree_flatten_with_path(g1)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(k)
+        )
