@@ -64,8 +64,8 @@ def enable_inference_kernels() -> str:
     Measured on v5e (full 50-step restore): XLA's fused SDPA edges out the
     Pallas flash kernel at inference batch sizes, so XLA stays the default;
     set TAIR_ATTN=pallas to opt in (the kernel wins on isolated large-batch
-    attention microbenchmarks). The Pallas kernel is forward-only (no custom
-    VJP yet) — never select it for training.
+    attention microbenchmarks). The Pallas kernel has a custom VJP (two-pass
+    flash backward), so it is safe for training as well.
     """
     import os
 
