@@ -68,6 +68,8 @@ class ValConfig:
 @dataclass
 class ExperimentConfig:
     model_preset: str = "default"    # "default" | "tiny"
+    # TESTRConfig field overrides (e.g. use_checkpoint, enc_msda_q_chunk)
+    testr_overrides: Dict[str, Any] = field(default_factory=dict)
     dtype: str = "bfloat16"
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     degradation: DegradationConfig = field(default_factory=DegradationConfig)
@@ -113,7 +115,8 @@ def build_model(cfg: ExperimentConfig):
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.dtype]
     if cfg.model_preset == "default":
-        return build_default_model(dtype=dtype)
+        return build_default_model(dtype=dtype,
+                                   testr_overrides=cfg.testr_overrides or None)
     if cfg.model_preset == "tiny":
         return build_tiny_model(dtype=dtype)
     raise ValueError(f"unknown model preset {cfg.model_preset!r}")

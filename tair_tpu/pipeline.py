@@ -356,8 +356,12 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
     )
 
 
-def build_default_model(dtype=jnp.bfloat16) -> TeReDiff:
-    """Production TAIR geometry (SD-2.1 + SwinIR-TAIR)."""
+def build_default_model(dtype=jnp.bfloat16, testr_overrides=None) -> TeReDiff:
+    """Production TAIR geometry (SD-2.1 + SwinIR-TAIR).
+
+    testr_overrides: optional dict of TESTRConfig field overrides (e.g.
+    {"use_checkpoint": True, "enc_msda_q_chunk": 2048} for memory-bound
+    training)."""
     from .models.clip import CLIPTextConfig
     from .models.swinir import SwinIRConfig
     from .models.unet import UNetConfig
@@ -372,7 +376,7 @@ def build_default_model(dtype=jnp.bfloat16) -> TeReDiff:
     return TeReDiff.create(
         cldm=cldm,
         swinir=SwinIR(SwinIRConfig(), dtype=dtype),
-        testr=TESTR(TESTRConfig(), dtype=dtype),
+        testr=TESTR(TESTRConfig(**(testr_overrides or {})), dtype=dtype),
     )
 
 

@@ -168,6 +168,9 @@ class CompositeDecoderLayer(nn.Module):
     n_heads: int
     n_points: int
     dtype: Dtype = jnp.float32
+    # flatpatch-mxu wins at decoder cross-attn shapes too (Q=1600/2500:
+    # 1.9/1.8ms vs flat 2.1/7.2ms on v5e); unchunked at these sizes
+    msda_q_chunk: int = 16384
 
     @nn.compact
     def __call__(
@@ -202,7 +205,8 @@ class CompositeDecoderLayer(nn.Module):
         ref = jnp.tile(reference_points[:, :, None], (1, 1, n_pts, 1, 1))
         a = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="attn_cross",
+            dtype=self.dtype, core="flatpatch", q_chunk=self.msda_q_chunk,
+            name="attn_cross",
         )(
             (tgt + query_pos).reshape(b, k * n_pts, c),
             ref.reshape(b, k * n_pts, self.n_levels, reference_points.shape[-1]),
@@ -236,7 +240,8 @@ class CompositeDecoderLayer(nn.Module):
         ref_t = jnp.tile(reference_points[:, :, None], (1, 1, n_words, 1, 1))
         a = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="attn_cross_text",
+            dtype=self.dtype, core="flatpatch", q_chunk=self.msda_q_chunk,
+            name="attn_cross_text",
         )(
             (tgt_text + qp_text).reshape(b, k * n_words, c),
             ref_t.reshape(b, k * n_words, self.n_levels, reference_points.shape[-1]),
