@@ -297,10 +297,19 @@ class TeReDiff:
                 c_txt, tokens = args
                 out = self.spotter_apply(params, feats)
                 res = spotter_inference(out, score_threshold, image_size=h)
-                tokens = splice_tag_prompt(
+                new_tokens = splice_tag_prompt(
                     res["recs"], res["scores"], res["keep"], max_words
                 )
-                return self.cldm.clip_encode_tokens(params, tokens), tokens
+                # CLIP encode is deterministic: when the OCR'd prompt tokens
+                # did not change, reuse the previous embedding (bit-identical;
+                # the prompt typically stabilizes after the first few steps)
+                new_c_txt = jax.lax.cond(
+                    jnp.any(new_tokens != tokens),
+                    lambda t: self.cldm.clip_encode_tokens(params, t),
+                    lambda t: c_txt,
+                    new_tokens,
+                )
+                return new_c_txt, new_tokens
 
             if spotter_every == 1:
                 c_txt, tokens = with_spotting((c_txt, tokens))

@@ -40,7 +40,9 @@ if (
 
     # The parent pytest has already fd-captured stdout, so the child's
     # stream may be invisible in this process's output; tee it to a log.
-    log_path = os.path.join(os.path.dirname(__file__), "..", "pytest_child.log")
+    log_path = os.path.join(
+        os.path.dirname(__file__), "..", f"pytest_child.{os.getpid()}.log"
+    )
     proc = subprocess.Popen(
         [sys.executable, "-m", "pytest"] + sys.argv[1:],
         env=_sanitized_env(),
