@@ -1,0 +1,65 @@
+"""Entry-point smoke gates on the bundled demo assets (SURVEY §4: the
+reference's quality control is a runnable demo on assets/demo_imgs — this is
+that golden-path gate, exercising the real CLIs end to end: config loading,
+image IO, the restoration loop, metric computation, and output saving)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=900):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON_")):
+            env.pop(k)
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+
+
+@pytest.mark.slow
+def test_val_cli_smoke(tmp_path):
+    out_dir = tmp_path / "val_out"
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model_preset: tiny\ndtype: float32\nval:\n"
+        f"  lq_dir: {REPO}/assets/smoke/lq\n"
+        f"  gt_dir: {REPO}/assets/smoke/gt\n"
+        f"  output_dir: {out_dir}\n  steps: 2\n"
+    )
+    r = _run(["val.py", "--config", str(cfg), "--image-size", "32"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    files = os.listdir(out_dir)
+    assert "restored_demo0.png" in files and "restored_demo1.png" in files
+    metrics = [
+        json.loads(line)
+        for line in (out_dir / "val_metrics.jsonl").read_text().splitlines()
+    ]
+    assert len(metrics) == 2
+    assert all("psnr" in m for m in metrics)
+
+
+@pytest.mark.slow
+def test_val_patches_cli_smoke(tmp_path):
+    out_dir = tmp_path / "patches_out"
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model_preset: tiny\ndtype: float32\nval:\n"
+        f"  lq_dir: {REPO}/assets/smoke/lq\n"
+        f"  gt_dir: {REPO}/assets/smoke/gt\n"
+        f"  output_dir: {out_dir}\n  steps: 2\n"
+        "  patch_size: 16\n  overlap: 4\n  out_scale: 4\n  chunk: 8\n"
+    )
+    r = _run(["val_patches.py", "--config", str(cfg)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    files = os.listdir(out_dir)
+    assert any(f.startswith("restored_") for f in files)
