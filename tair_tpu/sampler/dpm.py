@@ -1,17 +1,22 @@
-"""DPM-Solver++(2M) multistep sampler (lax.scan).
+"""DPM-Solver++ multistep samplers, orders 1-3 (lax.scan).
 
 Counterpart of /root/reference/terediff/sampler/dpms_sampler.py:17-101 +
-the vendored dpm_solver_pytorch.py (NoiseScheduleVP / DPM_Solver). The
-reference vendors the full order-1..3 single/multistep library; the variant
-actually useful for guided restoration is the multistep 2M solver in
-log-SNR ("dpmsolver++") data-prediction form, implemented here natively as a
-scan. Order-1 fallback at the first step, uniform-logSNR ("time_uniform"
-lambda) spacing over the trained discrete schedule.
+the vendored dpm_solver_pytorch.py (NoiseScheduleVP / DPM_Solver orders
+1-3 single/multistep). Implemented natively as one scan in log-SNR
+("dpmsolver++") data-prediction form with the standard multistep warmup
+(order reduction at the first nodes), "time_uniform" lambda spacing over
+the trained discrete schedule. Order 1 is the DDIM-equivalent update;
+order 2 is the usual "2M" solver; order 3 adds the second divided
+difference (multistep_dpm_solver_third_update in the vendored library).
+Singlestep solvers are intentionally not rebuilt: at guided-restoration
+step counts the multistep family dominates them (and the reference's
+sampler entry point defaults to multistep, dpms_sampler.py:66).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +26,9 @@ from .base import SamplerBase
 
 
 @dataclass(frozen=True)
-class DPMSolverPP2M(SamplerBase):
+class DPMSolverPP(SamplerBase):
+    order: int = 2
+
     def _schedule(self, steps: int):
         ac = np.cumprod(1.0 - self.training_betas)
         log_alpha = 0.5 * np.log(ac)  # discrete log alpha_t
@@ -77,25 +84,55 @@ class DPMSolverPP2M(SamplerBase):
                 return a * x - s * out
             return (x - s * out) / jnp.maximum(a, 1e-8)
 
+        if self.order not in (1, 2, 3):
+            raise ValueError(f"order must be 1, 2 or 3, got {self.order}")
         x0_0 = denoise(x_T, 0)
 
         def body(carry, i):
-            x, x0_prev = carry
+            x, x0_prev, x0_prev2 = carry
             # step from node i to node i+1
             h = lam[i + 1] - lam[i]
-            h_prev = lam[i] - lam[i - 1]
-            r = h_prev / h
+            h0 = lam[i] - lam[i - 1]
+            h1 = lam[i - 1] - lam[i - 2]
+            r0 = h0 / h
+            r1 = h1 / h
             x0_cur = denoise(x, i)
-            # 2M update: extrapolated data prediction
-            d = jnp.where(i > 0, (1 + 1 / (2 * r)), 1.0) * x0_cur - jnp.where(
-                i > 0, 1 / (2 * r), 0.0
-            ) * x0_prev
-            x_next = (
-                sigma[i + 1] / sigma[i] * x
-                - alpha[i + 1] * jnp.expm1(-h) * d
-            )
-            return (x_next.astype(x.dtype), x0_cur), None
 
-        (x, _), _ = jax.lax.scan(body, (x_T, x0_0), jnp.arange(steps))
+            phi1 = jnp.expm1(-h)
+            base = sigma[i + 1] / sigma[i] * x - alpha[i + 1] * phi1 * x0_cur
+
+            # divided differences of the data predictions (0 at warmup nodes)
+            d1_0 = jnp.where(i > 0, (x0_cur - x0_prev) / r0, 0.0)
+            d1_1 = jnp.where(i > 1, (x0_prev - x0_prev2) / r1, 0.0)
+
+            if self.order == 1:
+                x_next = base
+            elif self.order == 2:
+                # 2M update: extrapolated data prediction, order-1 at i==0
+                x_next = base - alpha[i + 1] * phi1 * jnp.where(
+                    i > 0, 0.5 * d1_0, 0.0
+                )
+            else:
+                # 3M (multistep_dpm_solver_third_update, dpmsolver++ form);
+                # order-reduced warmup: 1 at i==0, 2 at i==1
+                d1 = d1_0 + jnp.where(i > 1, r0 / (r0 + r1), 0.0) * (d1_0 - d1_1)
+                d2 = jnp.where(i > 1, (d1_0 - d1_1) / (r0 + r1), 0.0)
+                phi2 = phi1 / h + 1.0
+                phi3 = phi2 / h - 0.5
+                x_next = jnp.where(
+                    i == 1,
+                    base - alpha[i + 1] * phi1 * 0.5 * d1_0,
+                    base
+                    + alpha[i + 1] * phi2 * d1
+                    - alpha[i + 1] * phi3 * d2,
+                )
+
+            return (x_next.astype(x.dtype), x0_cur, x0_prev), None
+
+        (x, _, _), _ = jax.lax.scan(body, (x_T, x0_0, x0_0), jnp.arange(steps))
         # denoise-to-zero: return the data prediction at the final node
         return denoise(x, steps)
+
+
+# the variant TAIR-adjacent pipelines reach for by default
+DPMSolverPP2M = partial(DPMSolverPP, order=2)

@@ -1,11 +1,19 @@
-"""EDM / Karras-style samplers (Euler, Heun, DPM++2M-Karras) as lax.scans.
+"""EDM / Karras-style samplers (Euler, Heun, DPM++2M, ancestral and SDE
+variants) as lax.scans.
 
 Counterpart of /root/reference/terediff/sampler/edm_sampler.py:26-188 + the
 vendored k_diffusion.py:123-707 (sample_euler / sample_heun /
-sample_dpmpp_2m over a VP-wrapped denoiser). The trained model is discrete
-VP; it is wrapped as a Karras denoiser D(x, sigma) via the standard VP
-preconditioning (x scaled by 1/sqrt(1+sigma^2), timestep looked up from the
-trained sigma table).
+sample_dpmpp_2m and the _ancestral/_sde variants over a VP-wrapped
+denoiser). The trained model is discrete VP; it is wrapped as a Karras
+denoiser D(x, sigma) via the standard VP preconditioning (x scaled by
+1/sqrt(1+sigma^2), timestep looked up from the trained sigma table).
+
+Stochastic solvers draw per-step noise from the caller's PRNG key with
+`jax.random.fold_in(rng, step)` — the counted-key equivalent of
+k-diffusion's BrownianTreeNoiseSampler (k_diffusion.py:70-105): same
+distribution, deterministic given the seed, and independent of step count
+partitioning only in the tree sampler, which matters for reproducing
+trajectories across step counts, not for sample quality.
 """
 
 from __future__ import annotations
@@ -29,7 +37,9 @@ def karras_sigmas(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0):
 
 @dataclass(frozen=True)
 class EDMSampler(SamplerBase):
-    solver: str = "dpmpp_2m"  # euler | heun | dpmpp_2m
+    # euler | heun | dpmpp_2m | euler_ancestral | dpmpp_2m_sde
+    solver: str = "dpmpp_2m"
+    eta: float = 1.0  # ancestral/SDE noise scale
 
     def _vp_tables(self):
         ac = np.cumprod(1.0 - self.training_betas)
@@ -121,6 +131,59 @@ class EDMSampler(SamplerBase):
                 return (x_next, x0), None
 
             (x, _), _ = jax.lax.scan(body, (x, D(x, sig[0]) * 0), jnp.arange(steps))
+
+        elif self.solver == "euler_ancestral":
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+
+            def body(x, i):
+                x0 = D(x, sig[i])
+                # get_ancestral_step (k_diffusion.py:60-67)
+                s2, sn2 = sig[i] ** 2, sig[i + 1] ** 2
+                sigma_up = jnp.minimum(
+                    sig[i + 1], self.eta * jnp.sqrt(sn2 * (s2 - sn2) / s2)
+                )
+                sigma_up = jnp.where(sig[i + 1] > 0, sigma_up, 0.0)
+                sigma_down = jnp.sqrt(jnp.maximum(sn2 - sigma_up**2, 0.0))
+                d = (x - x0) / sig[i]
+                x_next = x + d * (sigma_down - sig[i])
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, i), x.shape, jnp.float32
+                )
+                x_next = x_next + noise * sigma_up
+                return jnp.where(sig[i + 1] > 0, x_next, x0), None
+
+            x, _ = jax.lax.scan(body, x, jnp.arange(steps))
+
+        elif self.solver == "dpmpp_2m_sde":
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            # k-diffusion's t = -log(sigma); h = t_next - t ("midpoint" form)
+            lam = -jnp.log(jnp.maximum(sig, 1e-10))
+
+            def body(carry, i):
+                x, x0_prev = carry
+                x0 = D(x, sig[i])
+                h = lam[i + 1] - lam[i]
+                h0 = lam[i] - lam[i - 1]
+                eta_h = self.eta * h
+                decay = sig[i + 1] / sig[i] * jnp.exp(-eta_h)
+                mix = -jnp.expm1(-h - eta_h)
+                x_next = decay * x + mix * x0
+                # midpoint correction from the previous data prediction
+                r = h0 / h
+                x_next = x_next + jnp.where(
+                    i > 0, 0.5 * mix / r, 0.0
+                ) * (x0 - x0_prev)
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, i), x.shape, jnp.float32
+                )
+                x_next = x_next + noise * sig[i + 1] * jnp.sqrt(
+                    jnp.maximum(-jnp.expm1(-2.0 * eta_h), 0.0)
+                )
+                return (jnp.where(sig[i + 1] > 0, x_next, x0), x0), None
+
+            (x, _), _ = jax.lax.scan(body, (x, x * 0), jnp.arange(steps))
         else:
             raise ValueError(self.solver)
 

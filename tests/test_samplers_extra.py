@@ -8,7 +8,7 @@ import pytest
 
 from tair_tpu.diffusion import DiffusionSchedule
 from tair_tpu.sampler.ddim import DDIMSampler
-from tair_tpu.sampler.dpm import DPMSolverPP2M
+from tair_tpu.sampler.dpm import DPMSolverPP, DPMSolverPP2M
 from tair_tpu.sampler.edm import EDMSampler
 
 
@@ -47,6 +47,30 @@ def test_dpmpp_2m_recovers_delta():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-2)
 
 
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_dpmpp_orders_recover_delta(order):
+    sched, x0, model_fn = setup_oracle()
+    s = DPMSolverPP(training_betas=sched.betas, parameterization="v", order=order)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    x = s.sample(model_fn, 15, x_T, None)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-2)
+
+
+def test_dpmpp_higher_order_converges_faster():
+    """With few steps the order-3 solver should land nearer the truth than
+    order 1 (the point of the higher-order update)."""
+    sched, x0, model_fn = setup_oracle()
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    errs = {}
+    for order in (1, 3):
+        s = DPMSolverPP(
+            training_betas=sched.betas, parameterization="v", order=order
+        )
+        x = s.sample(model_fn, 6, x_T, None)
+        errs[order] = float(jnp.abs(x - x0).max())
+    assert errs[3] <= errs[1]
+
+
 @pytest.mark.parametrize("solver", ["euler", "heun", "dpmpp_2m"])
 def test_edm_solvers_recover_delta(solver):
     sched, x0, model_fn = setup_oracle()
@@ -54,6 +78,21 @@ def test_edm_solvers_recover_delta(solver):
     x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
     x = s.sample(model_fn, 20, x_T, None)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=8e-2)
+
+
+@pytest.mark.parametrize("solver", ["euler_ancestral", "dpmpp_2m_sde"])
+def test_edm_stochastic_solvers(solver):
+    """Ancestral/SDE variants still recover the delta (the injected noise is
+    re-contracted by later steps) and are deterministic given the key."""
+    sched, x0, model_fn = setup_oracle()
+    s = EDMSampler(training_betas=sched.betas, parameterization="v", solver=solver)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    a = s.sample(model_fn, 25, x_T, None, jax.random.PRNGKey(7))
+    b = s.sample(model_fn, 25, x_T, None, jax.random.PRNGKey(7))
+    c = s.sample(model_fn, 25, x_T, None, jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(x0), atol=1.5e-1)
 
 
 def test_ddim_deterministic_eta0():
