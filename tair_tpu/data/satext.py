@@ -102,6 +102,7 @@ class SATextDataset:
     out_size: int = 512
     p_empty_prompt: float = 0.2
     seed: int = 0
+    backend: object = None  # file_backend.BaseBackend; None -> disk
 
     def __len__(self) -> int:
         return len(self.records)
@@ -109,9 +110,12 @@ class SATextDataset:
     def _load_image(self, path: str) -> Optional[np.ndarray]:
         from PIL import Image
 
+        from .file_backend import HardDiskBackend
+
+        if self.backend is None:
+            self.backend = HardDiskBackend()
         try:
-            with open(path, "rb") as f:
-                img = Image.open(io.BytesIO(f.read())).convert("RGB")
+            img = Image.open(io.BytesIO(self.backend.get(path))).convert("RGB")
         except Exception:
             return None
         if img.height != self.out_size or img.width != self.out_size:

@@ -95,3 +95,51 @@ def test_synthetic_dataset_iterator():
     assert batch["boxes"][batch["inst_mask"]].max() <= 1.0
     b2 = next(it)
     assert b2["hq"].shape == (4, 64, 64, 3)
+
+
+def test_file_backends(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from tair_tpu.data.file_backend import (
+        HardDiskBackend,
+        MemoryBackend,
+        get_backend,
+    )
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abc")
+    assert HardDiskBackend().get(p) == b"abc"
+    assert get_backend("disk").get(str(p)) == b"abc"
+
+    mem = MemoryBackend()
+    mem.put("img.png", b"xyz")
+    assert mem.get("img.png") == b"xyz"
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        get_backend("petrel")
+    with pytest.raises(ValueError):
+        get_backend("nope")
+
+    # dataset reads through a memory backend (no real files on disk)
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((512, 512, 3), np.uint8)).save(buf, "PNG")
+    mem.put("/virtual/img0.png", buf.getvalue())
+    ds = SATextDataset(
+        records=[
+            dict(
+                image_path="/virtual/img0.png",
+                img_name="img0",
+                prompt="",
+                text=["hi"],
+                bbox=np.zeros((1, 4), np.float32),
+                poly=np.zeros((1, 16, 2), np.float32),
+                text_enc=np.zeros((1, 25), np.int32),
+            )
+        ],
+        backend=mem,
+    )
+    assert ds[0]["hq"].shape == (512, 512, 3)
