@@ -36,7 +36,7 @@ def test_val_cli_smoke(tmp_path):
         f"  gt_dir: {REPO}/assets/smoke/gt\n"
         f"  output_dir: {out_dir}\n  steps: 2\n"
     )
-    r = _run(["val.py", "--config", str(cfg), "--image-size", "32"])
+    r = _run(["val.py", "--config", str(cfg), "--image-size", "64"])
     assert r.returncode == 0, r.stdout + r.stderr
     files = os.listdir(out_dir)
     assert "restored_demo0.png" in files and "restored_demo1.png" in files

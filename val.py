@@ -36,16 +36,9 @@ def save_image(path: str, arr) -> None:
 def draw_predictions(image, infos):
     """Overlay predicted polygons + texts (counterpart of text_to_image +
     TextVisualizer output, val.py:176-181)."""
-    import numpy as np
-    from PIL import Image, ImageDraw
+    from tair_tpu.utils.visualizer import TextVisualizer
 
-    img = Image.fromarray((np.clip(np.asarray(image), 0, 1) * 255).astype("uint8"))
-    drw = ImageDraw.Draw(img)
-    for text, poly in zip(infos["pred_texts"], infos["pred_polys"]):
-        pts = [tuple(p) for p in np.asarray(poly).reshape(-1, 2)]
-        drw.polygon(pts, outline=(0, 255, 0))
-        drw.text((pts[0][0], max(0, pts[0][1] - 10)), text, fill=(255, 0, 0))
-    return np.asarray(img, np.float32) / 255.0
+    return TextVisualizer().draw_spotter_output(image, infos)
 
 
 def main() -> None:
