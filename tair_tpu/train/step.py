@@ -108,6 +108,7 @@ def make_train_step(
     spotter_loss_fn: Optional[Callable] = None,
     ocr_loss_weight: float = 0.0,
     donate: bool = True,
+    infer_sharding: bool = False,
 ):
     """Build the jitted SPMD train step: (state, batch, rng) -> (state, aux)."""
 
@@ -128,7 +129,11 @@ def make_train_step(
             aux,
         )
 
-    if mesh is None:
+    if mesh is None or infer_sharding:
+        # infer_sharding: the caller device_put the state with its own layout
+        # (e.g. tensor-parallel param shards, parallel/tp.py) and the batch
+        # with P("data"); jit picks the shardings up from the input arrays
+        # and GSPMD partitions over BOTH mesh axes.
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())
