@@ -46,6 +46,7 @@ class TrainConfig:
     resume: Optional[str] = None
     seed: int = 0
     n_data_devices: Optional[int] = None  # default: all devices
+    log_tool: Optional[str] = None   # None/jsonl | tensorboard | wandb
 
 
 @dataclass

@@ -23,11 +23,33 @@ def is_main_process() -> bool:
 
 
 class MetricLogger:
-    def __init__(self, exp_dir: str, filename: str = "metrics.jsonl"):
+    """JSONL + console metric stream, with optional mirror backends:
+    log_tool="tensorboard" (torch SummaryWriter, in-env) or "wandb"
+    (external credentials; fails loudly if absent) — the two sinks the
+    reference's `log_args.log_tool` selects between (train.py:200-227)."""
+
+    def __init__(
+        self,
+        exp_dir: str,
+        filename: str = "metrics.jsonl",
+        log_tool: Optional[str] = None,
+    ):
         self.exp_dir = exp_dir
         self.path = os.path.join(exp_dir, filename)
+        self._tb = None
         if is_main_process():
             os.makedirs(exp_dir, exist_ok=True)
+            if log_tool == "tensorboard":
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(exp_dir, "tb"))
+            elif log_tool == "wandb":
+                import wandb  # not bundled; needs external credentials
+
+                wandb.init(project="tair-tpu", dir=exp_dir)
+                self._tb = wandb
+            elif log_tool not in (None, "", "jsonl"):
+                raise ValueError(f"unknown log_tool {log_tool!r}")
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict, prefix: str = "") -> None:
@@ -45,6 +67,16 @@ class MetricLogger:
             record["hbm"] = hbm_usage_mb()
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            scalars = {
+                k: v for k, v in record.items()
+                if isinstance(v, float) and k not in ("time",)
+            }
+            if hasattr(self._tb, "add_scalar"):  # tensorboard
+                for k, v in scalars.items():
+                    self._tb.add_scalar(k, v, int(step))
+            else:  # wandb
+                self._tb.log(scalars, step=int(step))
         items = ", ".join(
             f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in record.items()

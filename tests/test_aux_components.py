@@ -122,3 +122,21 @@ def test_average_precision():
     res2 = average_precision(gt, preds_fp, (0.5,))
     assert res2["ap50"] < 1.0
     assert res2["ap"] == res2["ap50"]
+
+
+def test_metric_logger_tensorboard(tmp_path):
+    """log_tool=tensorboard mirrors scalars to a SummaryWriter event file."""
+    from tair_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(str(tmp_path), log_tool="tensorboard")
+    lg.log(1, {"loss": 0.5, "name": "x"})
+    lg.log(2, {"loss": 0.25})
+    import os
+
+    tb_dir = os.path.join(str(tmp_path), "tb")
+    assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        MetricLogger(str(tmp_path), log_tool="nope")

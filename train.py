@@ -58,7 +58,7 @@ def main() -> None:
     init_distributed()
     n_data = tc.n_data_devices or len(jax.devices())
     mesh = create_mesh(n_data=n_data)
-    logger = MetricLogger(tc.exp_dir)
+    logger = MetricLogger(tc.exp_dir, log_tool=tc.log_tool)
     if is_main_process():
         print(f"devices={jax.devices()} mesh=data:{n_data} stage={tc.stage}")
 
