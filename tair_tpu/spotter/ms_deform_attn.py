@@ -270,6 +270,38 @@ def patchify_value(
     return jnp.concatenate(pieces, 2).reshape(b * h * s, 4 * d)
 
 
+def patchify_value_conv(
+    value: jnp.ndarray,                 # [B, S, H, D]
+    spatial_shapes: Sequence[Tuple[int, int]],
+) -> jnp.ndarray:                       # [B*H*S, D*4] channel-major
+    """2x2-neighborhood packing as ONE im2col conv per level
+    (`conv_general_dilated_patches` -> an MXU matmul) instead of the 4-way
+    lane-shifted concat of `patchify_value`.
+
+    Lane layout is CHANNEL-MAJOR: lane = c*4 + corner, corner order
+    (0,0),(0,1),(1,0),(1,1) — the dilated-patches native order. The matching
+    corner-weight spread/segment matrices differ from the corner-major
+    layout of `patchify_value` (see ms_deform_attn_core_flatpatch).
+
+    Measured on v5e: NOT faster (the im2col conv pays its own relayouts:
+    full core 6.0ms vs 2.8ms concat at encoder shapes) — kept as the
+    measured alternative; `patchify="concat"` is the default."""
+    b, s, h, d = value.shape
+    vt = value.transpose(0, 2, 1, 3)  # [B, H, S, D]
+    pieces = []
+    start = 0
+    for (hl, wl) in spatial_shapes:
+        vl = vt[:, :, start : start + hl * wl].reshape(b * h, hl, wl, d)
+        start += hl * wl
+        p = jax.lax.conv_general_dilated_patches(
+            vl, filter_shape=(2, 2), window_strides=(1, 1),
+            padding=((0, 1), (0, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [BH, hl, wl, D*4] (c-major)
+        pieces.append(p.reshape(b, h, hl * wl, 4 * d))
+    return jnp.concatenate(pieces, 2).reshape(b * h * s, 4 * d)
+
+
 def ms_deform_attn_core_flatpatch(
     value: jnp.ndarray,                 # [B, S, H, D]
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -278,6 +310,7 @@ def ms_deform_attn_core_flatpatch(
     q_chunk: int = 2048,
     value_patched: jnp.ndarray | None = None,
     reduce: str = "mxu",
+    patchify: str = "concat",
 ) -> jnp.ndarray:                       # [B, Q, H*D]
     """Patchified flat-take: ONE [4*D]-wide row-take per sample point (the
     2x2 bilinear patch pre-packed by patchify_value) instead of four [D]-wide
@@ -298,7 +331,16 @@ def ms_deform_attn_core_flatpatch(
     _, q, _, n_levels, n_points, _ = sampling_locations.shape
     assert len(spatial_shapes) == n_levels
 
-    vp = patchify_value(value, spatial_shapes) if value_patched is None else value_patched
+    if value_patched is not None:
+        vp = value_patched
+    elif patchify == "pallas":
+        from ..ops.patchify import patchify_value_pallas
+
+        vp = patchify_value_pallas(value, spatial_shapes)
+    elif patchify == "conv":
+        vp = patchify_value_conv(value, spatial_shapes)
+    else:
+        vp = patchify_value(value, spatial_shapes)
 
     if q > q_chunk:
         pad = (-q) % q_chunk
@@ -311,7 +353,8 @@ def ms_deform_attn_core_flatpatch(
         wts = wts.reshape(b, n_chunks, q_chunk, h, n_levels, n_points)
         out = jax.lax.map(
             lambda args: ms_deform_attn_core_flatpatch(
-                value, spatial_shapes, args[0], args[1], q_chunk, vp, reduce
+                value, spatial_shapes, args[0], args[1], q_chunk, vp, reduce,
+                patchify,
             ),
             (locs.transpose(1, 0, 2, 3, 4, 5, 6), wts.transpose(1, 0, 2, 3, 4, 5)),
         )  # [n_chunks, B, q_chunk, H*D]
@@ -364,22 +407,39 @@ def ms_deform_attn_core_flatpatch(
     idx = jnp.stack(rows, axis=-1)    # [B, Q, H, P, L]
     wgt = jnp.stack(wgts, axis=-2)    # [B, Q, H, P, L, 4]
     g = jnp.take(vp, idx.reshape(-1), axis=0)
+    cmajor = patchify == "conv"  # lane = c*4+corner vs corner*d+c
     if reduce == "einsum":
-        g = g.reshape(b, q, h, n_points, n_levels, 4, d)
-        out = jnp.einsum(
-            "bqhplcd,bqhplc->bqhd", g, wgt, preferred_element_type=jnp.float32
-        )
+        if cmajor:
+            g = g.reshape(b, q, h, n_points, n_levels, d, 4)
+            out = jnp.einsum(
+                "bqhpldc,bqhplc->bqhd", g, wgt,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            g = g.reshape(b, q, h, n_points, n_levels, 4, d)
+            out = jnp.einsum(
+                "bqhplcd,bqhplc->bqhd", g, wgt,
+                preferred_element_type=jnp.float32,
+            )
     else:
         k = n_points * n_levels
         g = g.reshape(b, q, h, k, 4 * d)
-        # broadcast each corner weight over its d lanes: [.., 4] @ [4, 4d]
-        spread = jnp.repeat(jnp.eye(4, dtype=g.dtype), d, axis=1)  # [4, 4d]
+        eye4 = jnp.eye(4, dtype=g.dtype)
+        eyed = jnp.eye(d, dtype=g.dtype)
+        if cmajor:
+            # lane j weights corner j%4; lane j sums into channel j//4
+            spread = jnp.tile(eye4, (1, d))           # [4, 4d]
+            seg = jnp.repeat(eyed, 4, axis=0)         # [4d, d]
+        else:
+            # lane j weights corner j//d; lane j sums into channel j%d
+            spread = jnp.repeat(eye4, d, axis=1)      # [4, 4d]
+            seg = jnp.tile(eyed, (4, 1))              # [4d, d]
+        # broadcast each corner weight over its lanes: [.., 4] @ [4, 4d]
         w_lanes = jax.lax.dot_general(
             wgt.reshape(b, q, h, k, 4).astype(g.dtype), spread,
             (((4,), (0,)), ((), ())), preferred_element_type=g.dtype,
         )  # [B, Q, H, K, 4d]
         # segment-sum the 4 corners (and K) with a static [4d, d] matmul
-        seg = jnp.tile(jnp.eye(d, dtype=g.dtype), (4, 1))  # [4d, d]
         out = jnp.einsum(
             "bqhkC,Cd->bqhd", g * w_lanes, seg,
             preferred_element_type=jnp.float32,
