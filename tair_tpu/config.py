@@ -59,6 +59,7 @@ class ValConfig:
     score_threshold: float = 0.5
     cfg_scale: float = 1.0
     seed: int = 231
+    niqe_params: Optional[str] = None  # pristine-MVG .npz (utils/niqe.py)
     # tiled (val_patches) settings
     patch_size: int = 128
     overlap: int = 16

@@ -115,6 +115,10 @@ def main() -> None:
         save_image(os.path.join(vc.output_dir, f"pred_texts_{stem}.png"), overlay)
 
         metrics = {"image": name, "pred_texts": final["pred_texts"]}
+        if vc.niqe_params:
+            from tair_tpu.utils.niqe import NIQEParams, niqe
+
+            metrics["niqe"] = niqe(restored, NIQEParams.load(vc.niqe_params))
         if vc.gt_dir:
             gt = load_image(os.path.join(vc.gt_dir, name), args.image_size)
             metrics["psnr"] = float(psnr(jnp.asarray(restored)[None],
