@@ -65,6 +65,9 @@ class ValConfig:
     overlap: int = 16
     out_scale: int = 4
     chunk: Optional[int] = None
+    # run the full per-step OCR-feedback loop on every patch (reference
+    # val_patches semantics); False = plain restoration, empty prompt
+    tiled_ocr_loop: bool = True
 
 
 @dataclass

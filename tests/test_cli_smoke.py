@@ -58,6 +58,7 @@ def test_val_patches_cli_smoke(tmp_path):
         f"  gt_dir: {REPO}/assets/smoke/gt\n"
         f"  output_dir: {out_dir}\n  steps: 2\n"
         "  patch_size: 16\n  overlap: 4\n  out_scale: 4\n  chunk: 8\n"
+        "  tiled_ocr_loop: false\n"
     )
     r = _run(["val_patches.py", "--config", str(cfg)])
     assert r.returncode == 0, r.stdout + r.stderr

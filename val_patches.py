@@ -73,8 +73,19 @@ def main() -> None:
 
     @partial(jax.jit, **shard_kwargs)
     def restore_batch(lq_batch, rng):
-        toks = jnp.broadcast_to(empty_tokens, (lq_batch.shape[0], 77))
-        restored, _, _ = model.restore(params, lq_batch, toks, rng, steps=steps)
+        if vc.tiled_ocr_loop:
+            # reference parity: full 50-step val_sample incl. spotter-driven
+            # prompt recycling PER PATCH (val_patches.py:334-369), here as
+            # the fused on-device loop over the whole patch batch
+            restored, _ = model.restore_fused_feedback(
+                params, lq_batch, rng, steps=steps,
+                score_threshold=vc.score_threshold,
+            )
+        else:
+            toks = jnp.broadcast_to(empty_tokens, (lq_batch.shape[0], 77))
+            restored, _, _ = model.restore(
+                params, lq_batch, toks, rng, steps=steps
+            )
         return restored
 
     names = sorted(os.listdir(vc.lq_dir))
