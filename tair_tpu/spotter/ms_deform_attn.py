@@ -447,6 +447,147 @@ def ms_deform_attn_core_flatpatch(
     return out.reshape(b, q, h * d).astype(value.dtype)
 
 
+def _lane_consts(spatial_shapes, n_heads: int, n_points: int):
+    """Per-lane constant vectors for the packed core; lane order (h, l, p),
+    p fastest. Returns dict of [H*L*P] numpy arrays."""
+    L = len(spatial_shapes)
+    lanes = n_heads * L * n_points
+    lvl = np.zeros((lanes,), np.int32)
+    h_of = np.zeros((lanes,), np.int32)
+    for h in range(n_heads):
+        for l in range(L):
+            s = (h * L + l) * n_points
+            lvl[s : s + n_points] = l
+            h_of[s : s + n_points] = h
+    wl = np.asarray([w for (_, w) in spatial_shapes], np.float32)[lvl]
+    hl = np.asarray([h_ for (h_, _) in spatial_shapes], np.float32)[lvl]
+    starts = np.cumsum([0] + [h_ * w for (h_, w) in spatial_shapes])[:-1]
+    start = starts.astype(np.int32)[lvl]
+    return dict(lvl=lvl, h=h_of, wl=wl, hl=hl, start=start)
+
+
+def ms_deform_attn_core_flatlanes(
+    value: jnp.ndarray,                 # [B, S, H, D]
+    spatial_shapes: Sequence[Tuple[int, int]],
+    locx: jnp.ndarray,                  # [B, Q, H*L*P] packed, lane=(h,l,p)
+    locy: jnp.ndarray,                  # [B, Q, H*L*P]
+    attn: jnp.ndarray,                  # [B, Q, H*L*P] softmaxed per (h)
+    value_patched: jnp.ndarray | None = None,
+    q_chunk: int = 16384,
+) -> jnp.ndarray:                       # [B, Q, H*D]
+    """Lane-packed flatpatch core: every per-sample-point tensor keeps the
+    (head, level, point) axis folded to exactly H*L*P lanes (128 at TESTR
+    geometry), so NOTHING in the index/weight math is lane-padded. The
+    per-level Python loop of the other cores becomes per-LANE constant
+    vectors (wl/hl/start of each lane's level).
+
+    Measured on v5e (scripts/enc_layer_ab.py): NO speedup over the
+    flatpatch path inside the module (6.04 vs 6.03 ms at encoder shapes) —
+    XLA already fuses the [..,2]/[..,4]-minor boundary tensors away, so the
+    padding they would cost never materializes. (The isolated-core number,
+    2.8ms, under-counts: with loop-invariant locations the index math gets
+    hoisted out of the timing loop.) Kept as the packed-layout seam and a
+    documented negative result; `flatpatch` remains the default.
+    Same grid_sample zero-padding math; parity-tested vs the oracle."""
+    b, s, h, d = value.shape
+    _, q, lanes = locx.shape
+    L = len(spatial_shapes)
+    p = lanes // (h * L)
+
+    c = _lane_consts(spatial_shapes, h, p)
+    wl = jnp.asarray(c["wl"])
+    hlv = jnp.asarray(c["hl"])
+    start = jnp.asarray(c["start"])
+    h_vec = jnp.asarray(c["h"])
+
+    vp = patchify_value(value, spatial_shapes) if value_patched is None else value_patched
+
+    if q > q_chunk:
+        pad = (-q) % q_chunk
+        lx = jnp.pad(locx, ((0, 0), (0, pad), (0, 0)))
+        ly = jnp.pad(locy, ((0, 0), (0, pad), (0, 0)))
+        aw_p = jnp.pad(attn, ((0, 0), (0, pad), (0, 0)))
+        n_chunks = (q + pad) // q_chunk
+        out = jax.lax.map(
+            lambda args: ms_deform_attn_core_flatlanes(
+                value, spatial_shapes, args[0], args[1], args[2], vp, q_chunk
+            ),
+            (
+                lx.reshape(b, n_chunks, q_chunk, lanes).transpose(1, 0, 2, 3),
+                ly.reshape(b, n_chunks, q_chunk, lanes).transpose(1, 0, 2, 3),
+                aw_p.reshape(b, n_chunks, q_chunk, lanes).transpose(1, 0, 2, 3),
+            ),
+        )
+        out = out.transpose(1, 0, 2, 3).reshape(b, q + pad, h * d)
+        return out[:, :q]
+
+    x = locx.astype(jnp.float32) * wl - 0.5
+    y = locy.astype(jnp.float32) * hlv - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    sx = jnp.clip(x0, 0.0, jnp.maximum(wl - 2.0, 0.0))
+    sy = jnp.clip(y0, 0.0, jnp.maximum(hlv - 2.0, 0.0))
+
+    # per-axis weights at the clamped patch columns jx = sx + {0, 1}
+    # (exactly the flatpatch logic, jx==x0 -> 1-fx, jx==x0+1 -> fx, masked
+    # when both true corners fall outside the grid_sample zero-padding)
+    def axis_weights(s0, v0, fv, size):
+        m = ((v0 + 1.0 >= 0.0) & (v0 <= size - 1.0)).astype(jnp.float32)
+        left = (
+            jnp.where(s0 == v0, 1.0 - fv, 0.0)
+            + jnp.where(s0 == v0 + 1.0, fv, 0.0)
+        ) * m
+        right = (
+            jnp.where(s0 + 1.0 == v0, 1.0 - fv, 0.0)
+            + jnp.where(s0 + 1.0 == v0 + 1.0, fv, 0.0)
+        ) * m
+        return left, right
+
+    wxl, wxr = axis_weights(sx, x0, fx, wl)
+    wyl, wyr = axis_weights(sy, y0, fy, hlv)
+
+    aw = attn.astype(jnp.float32)
+    # per-corner combined weights, still packed [B, Q, lanes]
+    w00 = wxl * wyl * aw
+    w01 = wxr * wyl * aw
+    w10 = wxl * wyr * aw
+    w11 = wxr * wyr * aw
+
+    rows = (
+        (jnp.arange(b, dtype=jnp.int32)[:, None, None] * h + h_vec) * s
+        + start
+        + sy.astype(jnp.int32) * wl.astype(jnp.int32)
+        + sx.astype(jnp.int32)
+    )  # [B, Q, lanes]
+
+    g = jnp.take(vp, rows.reshape(-1), axis=0)     # [B*Q*lanes, 4D]
+    k = L * p
+    g = g.reshape(b, q, h, k, 4 * d)               # lane split: sublanes only
+
+    # w_lanes [B,Q,H,K,4D] assembled from the packed per-corner factors with
+    # constant lane masks (corner-major layout: lane2 = corner*D + c)
+    mask = np.zeros((4, 4 * d), np.float32)
+    for corner in range(4):
+        mask[corner, corner * d : (corner + 1) * d] = 1.0
+    masks = jnp.asarray(mask)
+    w_lanes = (
+        w00.reshape(b, q, h, k)[..., None] * masks[0]
+        + w01.reshape(b, q, h, k)[..., None] * masks[1]
+        + w10.reshape(b, q, h, k)[..., None] * masks[2]
+        + w11.reshape(b, q, h, k)[..., None] * masks[3]
+    )
+    seg = jnp.tile(jnp.eye(d, dtype=jnp.float32), (4, 1))  # [4d, d]
+    out = jnp.einsum(
+        "bqhkC,Cd->bqhd",
+        g.astype(jnp.float32) * w_lanes,
+        seg,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, q, h * d).astype(value.dtype)
+
+
 def directional_bias_init(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
     """Deformable-DETR's sampling-offset bias init: heads point at compass
     directions, points at increasing radii (ms_deform_attn.py:101-110)."""
@@ -507,6 +648,54 @@ class MSDeformAttn(nn.Module):
             name="attention_weights",
         )(query).reshape(b, q, h, l * p)
         attn = jax.nn.softmax(attn, axis=-1).reshape(b, q, h, l, p)
+
+        if self.core == "flatlanes":
+            # packed path: all per-point tensors stay [B, Q, H*L*P] (128
+            # lanes at TESTR geometry) — no [..,2]/[..,P]-minor tensors are
+            # ever materialized (those are 32-64x lane-padded on TPU)
+            lanes = h * l * p
+            consts = _lane_consts(spatial_shapes, h, p)
+            off_flat = offsets.reshape(b, q, lanes * 2)
+            offx = off_flat[..., 0::2]  # Dense lanes are (h,l,p,2), xy minor
+            offy = off_flat[..., 1::2]
+            attn_p = attn.reshape(b, q, lanes)
+
+            # level-broadcast by MXU matmul with a [L, lanes] one-hot (no
+            # relayout, unlike repeat/tile on lane dims)
+            m_lvl = np.zeros((l, lanes), np.float32)
+            m_lvl[consts["lvl"], np.arange(lanes)] = 1.0
+            m_lvl = jnp.asarray(m_lvl)
+
+            def lanes_of(v):  # [B, Q, L] -> [B, Q, lanes]
+                return jax.lax.dot_general(
+                    v.astype(jnp.float32), m_lvl,
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            inv_wl = jnp.asarray(1.0 / consts["wl"])
+            inv_hl = jnp.asarray(1.0 / consts["hl"])
+            offx = offx.astype(jnp.float32)
+            offy = offy.astype(jnp.float32)
+            if reference_points.shape[-1] == 2:
+                locx = lanes_of(reference_points[..., 0]) + offx * inv_wl
+                locy = lanes_of(reference_points[..., 1]) + offy * inv_hl
+            else:  # cxcywh reference boxes
+                locx = lanes_of(reference_points[..., 0]) + (
+                    offx / p * lanes_of(reference_points[..., 2]) * 0.5
+                )
+                locy = lanes_of(reference_points[..., 1]) + (
+                    offy / p * lanes_of(reference_points[..., 3]) * 0.5
+                )
+
+            out = ms_deform_attn_core_flatlanes(
+                value, spatial_shapes, locx, locy, attn_p,
+                q_chunk=self.q_chunk,
+            )
+            return nn.Dense(
+                self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                name="output_proj",
+            )(out)
 
         sizes = jnp.asarray(
             [[w_, h_] for (h_, w_) in spatial_shapes], jnp.float32

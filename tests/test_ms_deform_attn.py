@@ -240,3 +240,93 @@ def test_flatpatch_chunked_and_grads():
     for ga, gb in zip(g_full, g_chunk):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
     assert np.abs(np.asarray(g_full[0])).sum() > 0
+
+
+def _pack_lanes(locs, attn):
+    """[B,Q,H,L,P,2]+[B,Q,H,L,P] -> packed (locx, locy, attn) [B,Q,H*L*P]."""
+    b, q, h, L, p, _ = locs.shape
+    lanes = h * L * p
+    return (
+        locs[..., 0].reshape(b, q, lanes),
+        locs[..., 1].reshape(b, q, lanes),
+        attn.reshape(b, q, lanes),
+    )
+
+
+def test_flatlanes_variant_matches_core():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_flatlanes
+
+    rs = np.random.RandomState(17)
+    b, h, d, q, p = 2, 4, 8, 12, 4
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = rs.randn(b, s, h, d).astype(np.float32)
+    locs = rs.uniform(-0.2, 1.2, (b, q, h, len(shapes), p, 2)).astype(np.float32)
+    attn = rs.rand(b, q, h, len(shapes), p).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+
+    ref = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(locs),
+                            jnp.asarray(attn))
+    )
+    lx, ly, aw = _pack_lanes(jnp.asarray(locs), jnp.asarray(attn))
+    out = np.asarray(
+        ms_deform_attn_core_flatlanes(jnp.asarray(value), shapes, lx, ly, aw)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_flatlanes_chunked_and_grads():
+    from tair_tpu.spotter.ms_deform_attn import ms_deform_attn_core_flatlanes
+
+    rs = np.random.RandomState(19)
+    b, h, d, q, p = 1, 2, 4, 37, 2
+    shapes = ((4, 4), (3, 3))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = jnp.asarray(rs.randn(b, s, h, d), jnp.float32)
+    locs = jnp.asarray(rs.uniform(-0.1, 1.1, (b, q, h, 2, p, 2)), jnp.float32)
+    attn = jnp.asarray(rs.rand(b, q, h, 2, p), jnp.float32)
+    lx, ly, aw = _pack_lanes(locs, attn)
+
+    full = np.asarray(
+        ms_deform_attn_core_flatlanes(value, shapes, lx, ly, aw, q_chunk=4096)
+    )
+    chunked = np.asarray(
+        ms_deform_attn_core_flatlanes(value, shapes, lx, ly, aw, q_chunk=8)
+    )
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+    def f(v, lx_, ly_, a, chunk):
+        return ms_deform_attn_core_flatlanes(
+            v, shapes, lx_, ly_, a, q_chunk=chunk
+        ).sum()
+
+    g_full = jax.grad(f, argnums=(0, 1, 2, 3))(value, lx, ly, aw, 4096)
+    g_chunk = jax.grad(f, argnums=(0, 1, 2, 3))(value, lx, ly, aw, 8)
+    for ga, gb in zip(g_full, g_chunk):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+    assert float(jnp.abs(g_full[0]).sum()) > 0
+
+
+def test_module_flatlanes_matches_flatpatch():
+    """The packed module path must produce the same output as the unpacked
+    one given identical params (pure layout change)."""
+    rs = np.random.RandomState(23)
+    b, q, c = 2, 10, 64
+    shapes = ((6, 8), (3, 4), (2, 2), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    query = jnp.asarray(rs.randn(b, q, c), jnp.float32)
+    value = jnp.asarray(rs.randn(b, s, c), jnp.float32)
+    for ref_dim in (2, 4):
+        ref = jnp.asarray(rs.rand(b, q, len(shapes), ref_dim), jnp.float32)
+        m_fp = MSDeformAttn(c, len(shapes), 4, 4, core="flatpatch")
+        m_fl = MSDeformAttn(c, len(shapes), 4, 4, core="flatlanes")
+        params = m_fp.init(jax.random.PRNGKey(0), query, ref, value, shapes)
+        # non-zero offsets/weights so the comparison is meaningful
+        params = jax.tree.map(
+            lambda x: x + 0.01 * np.random.RandomState(5).randn(*x.shape).astype(x.dtype),
+            params,
+        )
+        a = m_fp.apply(params, query, ref, value, shapes)
+        bb = m_fl.apply(params, query, ref, value, shapes)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-5)
