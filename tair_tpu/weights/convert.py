@@ -439,9 +439,19 @@ def convert_testr(sd: TorchDict, cfg, prefix: str = "testr.") -> Tuple[Params, R
 # --------------------------------------------------------------------------
 
 def load_torch_file(path: str) -> TorchDict:
+    """Load a checkpoint into {name: np.ndarray}. Handles torch .pt/.pth/
+    .ckpt (nested under 'state_dict'/'model' as in the reference bundles)
+    and detectron2 .pkl files (pickled numpy dicts, the AdetCheckpointer
+    format, /root/reference/testr/adet/checkpoint/adet_checkpoint.py:6-36)."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if path.endswith(".pkl"):
+        import pickle
+
+        with open(path, "rb") as f:
+            sd = pickle.load(f, encoding="latin1")
+    else:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     if isinstance(sd, dict) and "model" in sd and all(

@@ -212,3 +212,21 @@ def test_testr_convert_roundtrip():
         {"params": jax.tree.map(jnp.asarray, converted)}, feats
     )["pred_logits"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_load_torch_file_pkl(tmp_path):
+    """detectron2 .pkl checkpoints (pickled numpy dicts) load like torch."""
+    import pickle
+
+    import numpy as np
+
+    from tair_tpu.weights.convert import load_torch_file
+
+    sd = {"model": {"a.weight": np.ones((2, 3), np.float32),
+                    "b.bias": np.zeros((4,), np.float32)}}
+    p = str(tmp_path / "ckpt.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(sd, f)
+    out = load_torch_file(p)
+    assert set(out) == {"a.weight", "b.bias"}
+    np.testing.assert_array_equal(out["a.weight"], np.ones((2, 3)))
