@@ -218,13 +218,44 @@ class LexiconMatcher:
                 prev, dp[j] = dp[j], cur
         return dp[n]
 
-    def find_match_word(self, word: str) -> Optional[str]:
+    @staticmethod
+    def _weighted_edit_distance(a: str, b: str, char_probs, char_to_col) -> float:
+        """Recognition-probability-weighted distance (lexicon_procesor.py's
+        weighted_ed): substituting predicted char a[i] by candidate char
+        b[j] costs 1 - P_i(b[j]) from the recognizer's softmax, so the
+        matcher prefers candidates the recognizer found plausible."""
+        m, n = len(a), len(b)
+        dp = [float(j) for j in range(n + 1)]
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], float(i)
+            for j in range(1, n + 1):
+                if a[i - 1] == b[j - 1]:
+                    sub = prev
+                else:
+                    col = char_to_col.get(b[j - 1])
+                    p = float(char_probs[i - 1][col]) if col is not None else 0.0
+                    sub = prev + (1.0 - p)
+                cur = min(dp[j] + 1.0, dp[j - 1] + 1.0, sub)
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    def find_match_word(
+        self, word: str, char_probs=None, char_to_col=None
+    ) -> Optional[str]:
+        """Best lexicon candidate within max_ratio*len(word) distance.
+        With `char_probs` ([len(word), vocab] recognizer softmax rows) and
+        `char_to_col` (char -> vocab column), uses the weighted distance."""
         if not word:
             return None
         best, best_d = None, 1e9
         up = word.upper()
         for cand in self.lexicon:
-            d = self._edit_distance(up, cand.upper())
+            if char_probs is not None:
+                d = self._weighted_edit_distance(
+                    up, cand.upper(), char_probs, char_to_col or {}
+                )
+            else:
+                d = self._edit_distance(up, cand.upper())
             if d < best_d:
                 best, best_d = cand, d
         if best is not None and best_d <= self.max_ratio * len(word):

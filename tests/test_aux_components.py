@@ -140,3 +140,19 @@ def test_metric_logger_tensorboard(tmp_path):
 
     with pytest.raises(ValueError):
         MetricLogger(str(tmp_path), log_tool="nope")
+
+
+def test_lexicon_weighted_edit_distance():
+    """With recognizer probabilities, the matcher prefers the candidate the
+    recognizer found plausible even at equal plain edit distance."""
+    import numpy as np
+
+    lm = LexiconMatcher(["SAP", "SEP"], max_ratio=0.6)
+    # predicted "SOP": one substitution from both SAP (O->A) and SEP (O->E)
+    # -> the plain matcher returns the first; with the recognizer giving 'E'
+    # high probability at that slot, the weighted matcher must flip to SEP
+    chars = {c: i for i, c in enumerate("AEOPS")}
+    probs = np.full((3, 5), 0.01)
+    probs[1, chars["E"]] = 0.95
+    assert lm.find_match_word("SOP") == "SAP"
+    assert lm.find_match_word("SOP", probs, chars) == "SEP"
