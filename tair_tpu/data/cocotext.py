@@ -22,15 +22,27 @@ import numpy as np
 from ..spotter.charset import MAX_WORD_LEN, PAD_ID, decode_text
 
 # dataset-name -> (image dir, annotation json), mirroring builtin.py
+# the reference's builtin registry (testr/adet/data/builtin.py:21-44),
+# same names and relative paths (bezier + _poly variants)
 _PREDEFINED = {
     "totaltext_train": ("totaltext/train_images", "totaltext/train.json"),
-    "totaltext_test": ("totaltext/test_images", "totaltext/test.json"),
-    "ctw1500_train": ("ctw1500/train_images", "ctw1500/train.json"),
-    "ctw1500_test": ("ctw1500/test_images", "ctw1500/test.json"),
-    "icdar2015_train": ("icdar2015/train_images", "icdar2015/train.json"),
-    "icdar2015_test": ("icdar2015/test_images", "icdar2015/test.json"),
-    "syntext1_train": ("syntext1/images", "syntext1/train.json"),
-    "syntext2_train": ("syntext2/images", "syntext2/train.json"),
+    "totaltext_val": ("totaltext/test_images", "totaltext/test.json"),
+    "ctw1500_word_train": ("CTW1500/ctwtrain_text_image", "CTW1500/annotations/train_ctw1500_maxlen100_v2.json"),
+    "ctw1500_word_test": ("CTW1500/ctwtest_text_image", "CTW1500/annotations/test_ctw1500_maxlen100.json"),
+    "syntext1_train": ("syntext1/images", "syntext1/annotations/train.json"),
+    "syntext2_train": ("syntext2/images", "syntext2/annotations/train.json"),
+    "mltbezier_word_train": ("mlt2017/images", "mlt2017/annotations/train.json"),
+    "chnsyn_train": ("ChnSyn/syn_130k_images", "ChnSyn/annotations/chn_syntext.json"),
+    "totaltext_poly_train": ("totaltext/train_images", "totaltext/train_poly.json"),
+    "totaltext_poly_val": ("totaltext/test_images", "totaltext/test_poly.json"),
+    "ctw1500_word_poly_train": ("CTW1500/ctwtrain_text_image", "CTW1500/annotations/train_poly.json"),
+    "ctw1500_word_poly_test": ("CTW1500/ctwtest_text_image", "CTW1500/annotations/test_poly.json"),
+    "syntext1_poly_train": ("syntext1/images", "syntext1/annotations/train_poly.json"),
+    "syntext2_poly_train": ("syntext2/images", "syntext2/annotations/train_poly.json"),
+    "mltbezier_word_poly_train": ("mlt2017/images", "mlt2017/annotations/train_poly.json"),
+    "icdar2015_train": ("icdar2015/train_images", "icdar2015/train_poly.json"),
+    "icdar2015_test": ("icdar2015/test_images", "icdar2015/test_poly.json"),
+    "icdar2019_train": ("icdar2019/train_images", "icdar2019/train_poly.json"),
 }
 
 
