@@ -66,13 +66,16 @@ def main() -> None:
         data_sh = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         shard_kwargs = dict(
-            in_shardings=(data_sh, repl), out_shardings=data_sh
+            in_shardings=(repl, data_sh, repl), out_shardings=data_sh
         )
     else:
         shard_kwargs = {}
 
+    # params enter as a jit ARGUMENT (donated into neither side), not a
+    # captured constant — closing over them would bake ~7GB of weights into
+    # the executable as constants (slow compile, duplicated HBM)
     @partial(jax.jit, **shard_kwargs)
-    def restore_batch(lq_batch, rng):
+    def _restore_batch(params, lq_batch, rng):
         if vc.tiled_ocr_loop:
             # reference parity: full 50-step val_sample incl. spotter-driven
             # prompt recycling PER PATCH (val_patches.py:334-369), here as
@@ -87,6 +90,9 @@ def main() -> None:
                 params, lq_batch, toks, rng, steps=steps
             )
         return restored
+
+    def restore_batch(lq_batch, rng):
+        return _restore_batch(params, lq_batch, rng)
 
     names = sorted(os.listdir(vc.lq_dir))
     for i, name in enumerate(names):
