@@ -61,8 +61,10 @@ def main() -> None:
     ds = build_dataset(cfg, "VAL")
     size = cfg.dataset.out_size
 
+    # params as a jit argument (a closure capture would bake the weights
+    # into the executable as constants)
     @jax.jit
-    def spot(batch, rng):
+    def _spot(params, batch, rng):
         clean = model.clean(params, batch["lq"])
         z_0 = model.cldm.vae_encode(params, batch["gt"], rng=rng, sample=True)
         cond = dict(
@@ -86,7 +88,7 @@ def main() -> None:
             "lq": jnp.asarray(raw["hq"]),
             "tokens": jnp.asarray(raw["tokens"]),
         }
-        res = jax.device_get(spot(batch, jax.random.PRNGKey(i)))
+        res = jax.device_get(_spot(params, batch, jax.random.PRNGKey(i)))
         for bi, item in enumerate(items):
             gts = [
                 SpottingInstance(np.asarray(p) * size, t)

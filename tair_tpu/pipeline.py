@@ -186,22 +186,32 @@ class TeReDiff:
             c_img=self.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False),
         )
 
-        model_fn = partial(self.cldm.apply, params)
-
+        # params are jit ARGUMENTS, not closure captures (captured arrays
+        # are lowered as constants: ~7GB baked into each executable)
         @jax.jit
-        def step_fn(x, step_idx, cond, step_rng):
+        def _step_fn(params, x, step_idx, cond, step_rng):
             return sampler.p_sample(
-                model_fn, sp, x, step_idx, cond, None, 1.0, step_rng
+                partial(self.cldm.apply, params), sp, x, step_idx, cond,
+                None, 1.0, step_rng,
             )
 
         @jax.jit
-        def spot_fn(feats):
+        def _spot_fn(params, feats):
             out = self.spotter_apply(params, feats)
             return spotter_inference(out, score_threshold, image_size=h)
 
         @jax.jit
-        def encode_fn(tokens):
+        def _encode_fn(params, tokens):
             return self.cldm.clip_encode_tokens(params, tokens)
+
+        def step_fn(x, step_idx, cond, step_rng):
+            return _step_fn(params, x, step_idx, cond, step_rng)
+
+        def spot_fn(feats):
+            return _spot_fn(params, feats)
+
+        def encode_fn(tokens):
+            return _encode_fn(params, tokens)
 
         ts_results = []
 
