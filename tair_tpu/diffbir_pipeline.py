@@ -44,26 +44,70 @@ class DiffBIRPipeline:
         cfg_scale: float = 1.0,
         guidance: Optional[MSEGuidance] = None,
         color_fix: bool = True,
+        tiled: bool = False,
+        tile_size: int = 512,
+        tile_stride: int = 256,
     ) -> jnp.ndarray:
         """Full restoration; pads H/W to a multiple of 64 (the diffusion
         stride) with reflect padding and crops back (pipeline.py padding
-        rules), then wavelet-color-fixes against the cleaner output."""
+        rules), then wavelet-color-fixes against the cleaner output.
+
+        tiled=True runs DiffBIR's tiled mode at inputs larger than
+        tile_size: gaussian-blended tiled LATENT sampling (make_tiled_fn
+        semantics, pipeline.py:202-225 + ddim_sampler.py:165-180) and the
+        seam-free tiled VAE for encode/decode."""
         b, h, w, _ = lq.shape
         ph, pw = (-h) % 64, (-w) % 64
         x = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         clean = self._clean(params, x)
+        use_tiles = tiled and (x.shape[1] > tile_size or x.shape[2] > tile_size)
+        if use_tiles:
+            from .utils.tilevae import tiled_vae_decode, tiled_vae_encode
+
+            c_img = tiled_vae_encode(
+                self.model.cldm, params, clean * 2.0 - 1.0,
+                tile_size=tile_size, overlap=tile_size - tile_stride,
+            )
+        else:
+            c_img = self.model.cldm.vae_encode(
+                params, clean * 2.0 - 1.0, sample=False
+            )
         cond = dict(
             c_txt=self.model.cldm.clip_encode_tokens(params, prompt_tokens),
-            c_img=self.model.cldm.vae_encode(
-                params, clean * 2.0 - 1.0, sample=False
-            ),
+            c_img=c_img,
         )
         hh, ww = x.shape[1] // 8, x.shape[2] // 8
         k_noise, k_chain = jax.random.split(rng)
         x_T = jax.random.normal(k_noise, (b, hh, ww, 4), jnp.float32)
 
-        model_fn = partial(self.model.cldm.apply, params)
+        if use_tiles:
+            # tiled latent diffusion: each model evaluation runs per latent
+            # tile (with the matching c_img tile) and blends with gaussian
+            # weights — the reference's make_tiled_fn applied to the cldm
+            from .tiling import make_tiled_fn
+
+            c_txt = cond["c_txt"]
+
+            def _apply_tile(z_tile, ci_tile, t):
+                n = z_tile.shape[0]
+                reps = n // b
+                ctx = jnp.tile(c_txt, (reps, 1, 1))
+                eps, _ = self.model.cldm.apply(
+                    params, z_tile, jnp.tile(t, (reps,)),
+                    dict(c_txt=ctx, c_img=ci_tile),
+                )
+                return eps
+
+            lt, ls = tile_size // 8, tile_stride // 8
+
+            def model_fn(z, t, cond_in):
+                tiled_eps = make_tiled_fn(
+                    lambda zt, ci: _apply_tile(zt, ci, t), lt, ls
+                )
+                return tiled_eps(z, cond_in["c_img"]), ()
+        else:
+            model_fn = partial(self.model.cldm.apply, params)
         sampler = self.model.sampler()
         z0, _ = sampler.sample(
             model_fn, steps=steps, x_T=x_T, cond=cond, rng=k_chain,
@@ -72,7 +116,14 @@ class DiffBIRPipeline:
         if guidance is not None:
             # apply guidance as a post-hoc latent pull toward the condition
             z0 = guidance(z0, cond["c_img"], jnp.zeros((b,), jnp.int32))
-        restored = self.model.cldm.vae_decode(params, z0)
+        if use_tiles:
+            restored = tiled_vae_decode(
+                self.model.cldm, params, z0,
+                tile_size=tile_size // 8,
+                overlap=(tile_size - tile_stride) // 8,
+            )
+        else:
+            restored = self.model.cldm.vae_decode(params, z0)
         restored = jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0)
         if color_fix:
             restored = jnp.clip(wavelet_reconstruction(restored, clean), 0.0, 1.0)

@@ -136,3 +136,70 @@ def restore_tiled(
     return merge_with_overlap(
         restored, (h, w), patch, overlap, big, overlap * out_scale
     )
+
+
+def gaussian_window(patch: int, var: float = 0.01) -> np.ndarray:
+    """DiffBIR's gaussian tile weights (make_tiled_fn / gaussian_weights,
+    /root/reference/terediff/utils/common.py:213-234): a separable gaussian
+    over normalized tile coordinates, peaked at the tile center."""
+    xs = (np.arange(patch) - patch / 2 + 0.5) / patch
+    g = np.exp(-(xs**2) / (2 * var)) / np.sqrt(2 * np.pi * var)
+    return np.outer(g, g).astype(np.float32)
+
+
+def make_tiled_fn(
+    fn: Callable,
+    size: int,
+    stride: int,
+    window: str = "gaussian",
+):
+    """Gaussian-blended sliding-window application of a spatial-size-
+    preserving function (DiffBIR's make_tiled_fn, common.py:174-234) —
+    the reference uses this for tiled LATENT DIFFUSION (each denoising
+    step applied per latent tile and blended).
+
+    `fn(x_tile, *extra_tiles)` maps [B, size, size, C] (+ any number of
+    extra arrays tiled over the same H, W grid) -> [B, size, size, C'].
+    Tiles are the reference's sliding windows (last row/col snapped to the
+    edge), all executed in one batched call.
+    """
+    win_np = (
+        gaussian_window(size) if window == "gaussian" else fade_window(size, stride and max(size - stride, 1))
+    )
+
+    def starts(extent: int):
+        ss = list(range(0, extent - size + 1, stride))
+        if not ss or ss[-1] != extent - size:
+            ss.append(extent - size)
+        return ss
+
+    def tiled(x, *extras):
+        b, h, w, c = x.shape
+        if h <= size and w <= size:
+            return fn(x, *extras)
+        hs, ws = starts(h), starts(w)
+        pos = [(i, j) for i in hs for j in ws]
+
+        def grab(a):
+            return jnp.concatenate(
+                [a[:, i : i + size, j : j + size] for (i, j) in pos], axis=0
+            )
+
+        tiles_out = fn(grab(x), *[grab(e) for e in extras])
+        n = len(pos)
+        co = tiles_out.shape[-1]
+        tiles_out = tiles_out.reshape(n, b, size, size, co)
+
+        win = jnp.asarray(win_np)[..., None]
+        canvas = jnp.zeros((b, h, w, co), jnp.float32)
+        weights = jnp.zeros((1, h, w, 1), jnp.float32)
+        for k, (i, j) in enumerate(pos):
+            canvas = canvas.at[:, i : i + size, j : j + size].add(
+                tiles_out[k].astype(jnp.float32) * win
+            )
+            weights = weights.at[:, i : i + size, j : j + size].add(win)
+        # corner gaussian weights get as small as ~5e-9; keep the floor
+        # well below them
+        return (canvas / jnp.maximum(weights, 1e-12)).astype(tiles_out.dtype)
+
+    return tiled
