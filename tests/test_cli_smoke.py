@@ -64,3 +64,22 @@ def test_val_patches_cli_smoke(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     files = os.listdir(out_dir)
     assert any(f.startswith("restored_") for f in files)
+
+
+def test_image_splitter_cli(tmp_path):
+    from PIL import Image
+    import numpy as np
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    Image.fromarray(np.zeros((300, 260, 3), np.uint8)).save(src / "a.png")
+    r = _run(
+        ["image_splitter.py", "--input-dir", str(src), "--output-dir", str(dst)],
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    tiles = list(dst.rglob("*.png"))
+    # non-overlapping 128^2 tiles: 2x2 grid fits fully inside 300x260
+    assert len(tiles) == 4
+    assert all(Image.open(t).size == (128, 128) for t in tiles)
