@@ -164,6 +164,9 @@ def main() -> None:
                         k: host_batch[k]
                         for k in ("inst_mask", "boxes", "ctrl_points", "texts")
                     } if tc.stage in ("stage2", "stage3") else None,
+                    image_dir=os.path.join(
+                        tc.exp_dir, "val_images", f"step_{global_step}"
+                    ),
                 )
                 logger.log(global_step, val_metrics, prefix="val/")
 
@@ -174,7 +177,7 @@ def main() -> None:
 
 def run_validation(
     model, params, cfg, gt, lq, tokens, n_images=2, steps=10,
-    feat_iterations=(), targets=None,
+    feat_iterations=(), targets=None, image_dir=None,
 ):
     """In-loop validation: sample a few images, report PSNR/SSIM vs GT, and
     (stage2/3) per-tagged-timestep OCR losses on the captured UNet features
@@ -199,6 +202,25 @@ def run_validation(
         "psnr": float(jnp.mean(psnr(restored, gt01))),
         "ssim": float(jnp.mean(ssim(restored, gt01))),
     }
+    if image_dir is not None:
+        # image panels like the reference's wandb grids (train.py:370-436),
+        # saved as PNGs next to the metrics stream
+        import os
+
+        from PIL import Image
+
+        from tair_tpu.utils.logging import is_main_process
+
+        if is_main_process():
+            os.makedirs(image_dir, exist_ok=True)
+            panel = np.concatenate(
+                [np.asarray(jax.device_get(a), np.float32)
+                 for a in (lq_n, restored, gt01)], axis=2
+            )  # [n, H, 3W, 3]: lq | restored | gt
+            for bi in range(panel.shape[0]):
+                Image.fromarray(
+                    (np.clip(panel[bi], 0, 1) * 255).astype(np.uint8)
+                ).save(os.path.join(image_dir, f"val_{bi}.png"))
     if tags and model.testr is not None:
         tgt = {k: jnp.asarray(jax.device_get(v)[:n]) for k, v in targets.items()}
         for ti, tag in enumerate(sorted(tags)):
