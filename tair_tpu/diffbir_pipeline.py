@@ -87,9 +87,7 @@ class DiffBIRPipeline:
             # weights — the reference's make_tiled_fn applied to the cldm
             from .tiling import make_tiled_fn
 
-            c_txt = cond["c_txt"]
-
-            def _apply_tile(z_tile, ci_tile, t):
+            def _apply_tile(z_tile, ci_tile, t, c_txt):
                 n = z_tile.shape[0]
                 reps = n // b
                 ctx = jnp.tile(c_txt, (reps, 1, 1))
@@ -102,8 +100,11 @@ class DiffBIRPipeline:
             lt, ls = tile_size // 8, tile_stride // 8
 
             def model_fn(z, t, cond_in):
+                # thread the CALLER's text embedding so CFG's uncond branch
+                # (empty-prompt c_txt) isn't silently replaced by the cond one
                 tiled_eps = make_tiled_fn(
-                    lambda zt, ci: _apply_tile(zt, ci, t), lt, ls
+                    lambda zt, ci: _apply_tile(zt, ci, t, cond_in["c_txt"]),
+                    lt, ls,
                 )
                 return tiled_eps(z, cond_in["c_img"]), ()
         else:

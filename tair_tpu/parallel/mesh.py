@@ -23,13 +23,38 @@ MODEL_AXIS = "model"
 
 
 def init_distributed() -> None:
-    """Multi-host init (no-op on a single process)."""
-    if jax.process_count() > 1:
-        return
+    """Multi-host init. Must run before any other jax call in a multi-host
+    job (replaces accelerate's implicit NCCL init, reference train.py:66-67).
+
+    `jax.process_count()` is NOT a valid probe before `initialize()` (it
+    reports 1 until the coordinator handshake happens), so we gate on the
+    cluster environment instead: call `jax.distributed.initialize()` whenever
+    a coordinator/cluster env is present (JAX_COORDINATOR_ADDRESS, or a cloud
+    TPU/GKE metadata env that jax's ClusterEnv auto-detects), and let
+    `initialize()` itself auto-detect when possible. A RuntimeError from
+    double-initialization is the only error swallowed; real init failures
+    propagate so multi-host misconfiguration fails loudly instead of
+    deadlocking in the first collective.
+    """
+    import os
+
+    cluster_env = any(
+        k in os.environ
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",  # cloud TPU pod
+            "SLURM_JOB_NUM_NODES",
+        )
+    )
+    if not cluster_env:
+        return  # single-process: nothing to initialize
     try:
         jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def create_mesh(
@@ -40,6 +65,10 @@ def create_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    # an explicit smaller mesh uses the first n_data*n_model devices (e.g.
+    # a 1x1 smoke config on a host that exposes 8 virtual devices)
+    if n_data * n_model < len(devices):
+        devices = devices[: n_data * n_model]
     assert n_data * n_model == len(devices), (
         f"mesh {n_data}x{n_model} != {len(devices)} devices"
     )

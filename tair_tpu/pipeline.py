@@ -399,6 +399,51 @@ def build_default_model(dtype=jnp.bfloat16, testr_overrides=None) -> TeReDiff:
     )
 
 
+def build_dryrun_model(dtype=jnp.float32) -> TeReDiff:
+    """Minimal geometry for the driver's multi-chip dry run: same topology
+    class (SwinIR -> VAE/CLIP -> ControlNet+UNet w/ feature taps -> TESTR)
+    but only two UNet levels and two feature taps, so the dp x tp GSPMD
+    compile stays well under the driver's time budget while still
+    exercising every sharding pattern of the production step."""
+    from .models.clip import CLIPTextConfig
+    from .models.swinir import SwinIRConfig
+    from .models.unet import UNetConfig
+    from .models.vae import VAEConfig
+
+    unet_cfg = UNetConfig(
+        model_channels=32, num_head_channels=16, context_dim=64,
+        channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(2,),
+    )
+    cldm = ControlLDM.create(
+        unet_cfg=unet_cfg,
+        vae_cfg=VAEConfig(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
+        clip_cfg=CLIPTextConfig(width=64, heads=4, layers=2),
+        dtype=dtype,
+    )
+    swinir = SwinIR(
+        SwinIRConfig(
+            embed_dim=16, depths=(2,), num_heads=(2,), window_size=4, num_feat=8
+        ),
+        dtype=dtype,
+    )
+    testr = TESTR(
+        TESTRConfig(
+            d_model=32,
+            n_heads=4,
+            num_encoder_layers=1,
+            num_decoder_layers=2,
+            dim_feedforward=64,
+            num_proposals=10,
+            num_ctrl_points=16,
+            num_chars=25,
+            num_feature_levels=2,
+            in_channels=(64, 32),
+        ),
+        dtype=dtype,
+    )
+    return TeReDiff.create(cldm=cldm, swinir=swinir, testr=testr)
+
+
 def build_tiny_model(dtype=jnp.float32) -> TeReDiff:
     """Small geometry for tests/CI: same topology, tiny widths."""
     from .models.clip import CLIPTextConfig

@@ -39,8 +39,9 @@ class CriterionConfig:
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     aux_loss: bool = True
-    # "hungarian" (exact, host callback / native C++) or "greedy" (jittable,
-    # fully on-device approximation)
+    # "hungarian"/"jv": exact on-device Jonker-Volgenant (default; SPMD-clean,
+    # no host callback). "hungarian_host": exact via pure_callback (scipy /
+    # native C++). "greedy": jittable approximation.
     matcher: str = "hungarian"
 
 

@@ -144,15 +144,94 @@ def test_metric_logger_tensorboard(tmp_path):
 
 def test_lexicon_weighted_edit_distance():
     """With recognizer probabilities, the matcher prefers the candidate the
-    recognizer found plausible even at equal plain edit distance."""
+    recognizer found plausible even at equal plain edit distance.
+
+    Reference cost model (lexicon_procesor.py:40-44): replacing pred char c1
+    by candidate c2 costs max(1 - 5*P(c2)/P(c1), 0) — so a candidate char
+    with at least 1/5 the predicted char's probability substitutes for free,
+    while a truly implausible one costs ~1."""
     import numpy as np
 
-    lm = LexiconMatcher(["SAP", "SEP"], max_ratio=0.6)
-    # predicted "SOP": one substitution from both SAP (O->A) and SEP (O->E)
-    # -> the plain matcher returns the first; with the recognizer giving 'E'
-    # high probability at that slot, the weighted matcher must flip to SEP
+    lm = LexiconMatcher(["SAP", "SEP"], weighted_ed=True)
+    # predicted "SOP": one substitution from both SAP (O->A) and SEP (O->E).
+    # Recognizer at slot 1: P(O)=0.5, P(E)=0.45 (plausible), P(A)=0.01
+    # (implausible) -> SEP replace cost max(1-5*0.9,0)=0, SAP cost 0.9.
     chars = {c: i for i, c in enumerate("AEOPS")}
     probs = np.full((3, 5), 0.01)
-    probs[1, chars["E"]] = 0.95
-    assert lm.find_match_word("SOP") == "SAP"
+    probs[1, chars["O"]] = 0.5
+    probs[1, chars["E"]] = 0.45
     assert lm.find_match_word("SOP", probs, chars) == "SEP"
+
+    plain = LexiconMatcher(["SAP", "SEP"])
+    assert plain.find_match_word("SOP") == "SAP"  # tie -> first strict win
+
+
+def test_weighted_edit_distance_reference_formulas():
+    """Pin the exact delete/insert/replace costs of lexicon_procesor.py."""
+    import numpy as np
+
+    from tair_tpu.utils.text_eval import weighted_edit_distance
+
+    chars = {c: i for i, c in enumerate("ABab")}
+    # case-insensitivity: P = max(upper, lower) columns (lexicon_procesor:46-50)
+    probs = np.zeros((1, 4))
+    probs[0, chars["a"]] = 0.7
+    probs[0, chars["A"]] = 0.2
+    # identical after case fold -> 0
+    assert weighted_edit_distance("A", "a", probs, chars) == 0.0
+    # replace A by B with P(B)=0: cost = max(1 - 0, 0) = 1
+    assert abs(weighted_edit_distance("A", "B", probs, chars) - 1.0) < 1e-6
+    # empty word2: reference dp border -> plain length of word1
+    assert weighted_edit_distance("A", "", probs, chars) == 1.0
+
+    # delete cost = P_j(word1[j]) (case-folded max): "AA"->"A" deletes the
+    # second A at cost max(0.2, 0.7) = 0.7
+    probs2 = np.tile(probs, (2, 1))
+    assert abs(weighted_edit_distance("AA", "A", probs2, chars) - 0.7) < 1e-6
+    # insert cost at the last position = P of the adjacent pred char:
+    # "A"->"AB" inserts B at cost P_0("A") = 0.7 (cheaper than replace=1)
+    assert abs(weighted_edit_distance("A", "AB", probs, chars) - 0.7) < 1e-6
+
+
+def test_icdar_dontcare_and_word_spotting_rules():
+    """###-GTs and short/non-dictionary words become don't-care; detections
+    covering them are excluded (text_eval_script.py:293-354)."""
+    import numpy as np
+
+    from tair_tpu.utils.text_eval import evaluate_image
+
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float32)
+    gts = [
+        SpottingInstance(sq, "HELLO"),
+        SpottingInstance(sq + 100, "###"),  # explicit don't-care
+        SpottingInstance(sq + 200, "ab"),  # < MIN_LENGTH_CARE_WORD
+        SpottingInstance(sq + 300, "12ab"),  # digits -> not in dictionary
+    ]
+    preds = [
+        SpottingInstance(sq, "HELLO"),
+        SpottingInstance(sq + 100, "NOISE"),  # overlaps ### -> excluded
+        SpottingInstance(sq + 200, "ab"),  # overlaps short-word don't-care
+    ]
+    res = evaluate_image(gts, preds, word_spotting=True)
+    # e2e: only HELLO is a care GT; the ###/short/digit dets are excluded
+    assert res["num_gt"] == 1 and res["num_pred"] == 1
+    assert res["matched_e2e"] == 1
+    # det-only: ### is the only det-only don't-care
+    assert res["num_gt_det"] == 3 and res["num_pred_det"] == 2
+    assert res["matched_det"] == 2
+
+    # word-spotting normalization: GT "stop's" -> dictionary word "stop"
+    res2 = evaluate_image(
+        [SpottingInstance(sq, "stop's")],
+        [SpottingInstance(sq, "STOP")],
+        word_spotting=True,
+    )
+    assert res2["matched_e2e"] == 1
+
+    # non-word-spotting: leniency on GT first/last special characters
+    res3 = evaluate_image(
+        [SpottingInstance(sq, '"stop"')],
+        [SpottingInstance(sq, "STOP")],
+        word_spotting=False,
+    )
+    assert res3["matched_e2e"] == 1
