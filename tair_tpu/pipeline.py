@@ -342,9 +342,13 @@ class TeReDiff:
         restored = self.cldm.vae_decode(params, x0)
         return jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0), tokens
 
-    def spotter_loss_fn(self, axis_name=None):
-        """Adapter for train.step: (params, feats, batch) -> (loss, aux)."""
+    def spotter_loss_fn(self, axis_name=None, criterion_cfg=None):
+        """Adapter for train.step: (params, feats, batch) -> (loss, aux).
+        criterion_cfg: optional CriterionConfig override (e.g. matcher
+        selection — default is the exact on-device JV Hungarian)."""
         from .spotter.losses import CriterionConfig, set_criterion
+
+        cfg = criterion_cfg if criterion_cfg is not None else CriterionConfig()
 
         def fn(params: Params, feats, batch):
             out = self.spotter_apply(params, feats)
@@ -354,7 +358,7 @@ class TeReDiff:
                 "ctrl_points": batch["ctrl_points"],
                 "texts": batch["texts"],
             }
-            losses = set_criterion(out, targets, CriterionConfig(), axis_name)
+            losses = set_criterion(out, targets, cfg, axis_name)
             aux = {
                 "loss_ocr_ce": losses["loss_ce"],
                 "loss_ocr_ctrl_points": losses["loss_ctrl_points"],
