@@ -203,6 +203,53 @@ def test_vae_forward_parity_with_reference():
     )
 
 
+def test_swinir_forward_parity_with_reference():
+    """TAIR geometry scaled down: pixel-unshuffle x8 input, nearest+conv x8
+    upsampler (configs/train/train_stage1_terediff.yaml swinir params)."""
+    ref_swinir = ref_module("swinir")
+    ref = _randomize(
+        ref_swinir.SwinIR(
+            img_size=4, patch_size=1, in_chans=3, embed_dim=16,
+            depths=[2, 2], num_heads=[2, 2], window_size=4, mlp_ratio=2.0,
+            drop_path_rate=0.0, sf=8, img_range=1.0,
+            upsampler="nearest+conv", resi_connection="1conv",
+            unshuffle=True, unshuffle_scale=8,
+        ),
+        seed=5,
+    )
+
+    from tair_tpu.models.swinir import SwinIR, SwinIRConfig
+    from tair_tpu.weights.convert import _cast_like, convert_swinir
+
+    cfg = SwinIRConfig(
+        embed_dim=16, depths=(2, 2), num_heads=(2, 2), window_size=4,
+        mlp_ratio=2.0, sf=8, unshuffle=True, unshuffle_scale=8, num_feat=64,
+    )
+    model = SwinIR(cfg)
+    rng = np.random.default_rng(4)
+    img = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(_nchw(img))
+
+    params, reader = convert_swinir(_sd_numpy(ref), cfg, prefix="")
+    assert reader.missing == set(), sorted(reader.missing)
+    leftovers = {
+        k for k in reader.unused()
+        # buffers that aren't learned weights: rgb mean, swin attn masks/index
+        if not k.endswith(("attn_mask", "relative_position_index"))
+        and k != "mean"
+    }
+    assert leftovers == set(), sorted(leftovers)
+    tmpl = model.init(jax.random.PRNGKey(0), jnp.asarray(img))["params"]
+    params = _cast_like(params, tmpl)
+
+    out = model.apply({"params": params}, jnp.asarray(img))
+    np.testing.assert_allclose(
+        np.asarray(out), _to_nhwc(ref_out), atol=5e-4, rtol=2e-3
+    )
+
+
 def test_clip_forward_parity_with_reference():
     ref_clip = ref_module("clip")
     vision_cfg = dict(layers=1, width=8, head_width=8, patch_size=16, image_size=32)
