@@ -47,6 +47,8 @@ class TrainConfig:
     seed: int = 0
     n_data_devices: Optional[int] = None  # default: all devices
     log_tool: Optional[str] = None   # None/jsonl | tensorboard | wandb
+    # "hungarian" (exact on-device JV, default) | "hungarian_host" | "greedy"
+    matcher: str = "hungarian"
 
 
 @dataclass
@@ -60,6 +62,10 @@ class ValConfig:
     cfg_scale: float = 1.0
     seed: int = 231
     niqe_params: Optional[str] = None  # pristine-MVG .npz (utils/niqe.py)
+    # full-reference perceptual metrics; each needs two external torch
+    # checkpoints (docs/METRIC_WEIGHTS.md): "backbone_path:head_path"
+    lpips_weights: Optional[str] = None  # alexnet.pth:lpips_alex.pth
+    dists_weights: Optional[str] = None  # vgg16.pth:dists_weights.pt
     # tiled (val_patches) settings
     patch_size: int = 128
     overlap: int = 16

@@ -144,13 +144,14 @@ class EncoderLayer(nn.Module):
     # vs 13.9ms chunked on v5e. Training (autodiff residuals at batch>=2) can
     # lower this via TESTRConfig.enc_msda_q_chunk.
     msda_q_chunk: int = 16384
+    msda_core: str = "flatpatch"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         q = src + pos
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, core="flatpatch", q_chunk=self.msda_q_chunk,
+            dtype=self.dtype, core=self.msda_core, q_chunk=self.msda_q_chunk,
             name="self_attn",
         )(q, reference_points, src, spatial_shapes)
         src = _ln("norm1")(src + src2).astype(self.dtype)

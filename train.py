@@ -79,9 +79,14 @@ def main() -> None:
         if is_main_process():
             print(f"resumed from {resume_path} at step {int(state.step)}")
 
-    spotter_fn = (
-        model.spotter_loss_fn() if tc.stage in ("stage2", "stage3") else None
-    )
+    if tc.stage in ("stage2", "stage3"):
+        from tair_tpu.spotter.losses import CriterionConfig
+
+        spotter_fn = model.spotter_loss_fn(
+            criterion_cfg=CriterionConfig(matcher=tc.matcher)
+        )
+    else:
+        spotter_fn = None
     step_fn = make_train_step(
         model, diffusion, tx, mesh=mesh,
         spotter_loss_fn=spotter_fn,

@@ -73,6 +73,18 @@ def main() -> None:
     os.makedirs(vc.output_dir, exist_ok=True)
     logger = MetricLogger(vc.output_dir, "val_metrics.jsonl")
 
+    # perceptual metrics unlock with external checkpoints
+    # (docs/METRIC_WEIGHTS.md); "backbone.pth:head.pth" per config field
+    lpips_metric = dists_metric = None
+    if vc.lpips_weights:
+        from tair_tpu.utils.lpips import LPIPSMetric
+
+        lpips_metric = LPIPSMetric.from_torch(*vc.lpips_weights.split(":"))
+    if vc.dists_weights:
+        from tair_tpu.utils.dists import DISTSMetric
+
+        dists_metric = DISTSMetric.from_torch(*vc.dists_weights.split(":"))
+
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
     if args.ckpt:
@@ -125,6 +137,16 @@ def main() -> None:
                                          jnp.asarray(gt)[None])[0])
             metrics["ssim"] = float(ssim(jnp.asarray(restored)[None],
                                          jnp.asarray(gt)[None])[0])
+            if lpips_metric is not None:
+                metrics["lpips"] = float(
+                    lpips_metric(jnp.asarray(restored)[None],
+                                 jnp.asarray(gt)[None])[0]
+                )
+            if dists_metric is not None:
+                metrics["dists"] = float(
+                    dists_metric(jnp.asarray(restored)[None],
+                                 jnp.asarray(gt)[None])[0]
+                )
         logger.log(i, metrics)
 
     print(f"wrote results to {vc.output_dir}")
