@@ -474,6 +474,7 @@ def ms_deform_attn_core_flatlanes(
     attn: jnp.ndarray,                  # [B, Q, H*L*P] softmaxed per (h)
     value_patched: jnp.ndarray | None = None,
     q_chunk: int = 16384,
+    reduce: str = "mxu",
 ) -> jnp.ndarray:                       # [B, Q, H*D]
     """Lane-packed flatpatch core: every per-sample-point tensor keeps the
     (head, level, point) axis folded to exactly H*L*P lanes (128 at TESTR
@@ -510,7 +511,8 @@ def ms_deform_attn_core_flatlanes(
         n_chunks = (q + pad) // q_chunk
         out = jax.lax.map(
             lambda args: ms_deform_attn_core_flatlanes(
-                value, spatial_shapes, args[0], args[1], args[2], vp, q_chunk
+                value, spatial_shapes, args[0], args[1], args[2], vp, q_chunk,
+                reduce,
             ),
             (
                 lx.reshape(b, n_chunks, q_chunk, lanes).transpose(1, 0, 2, 3),
@@ -565,6 +567,26 @@ def ms_deform_attn_core_flatlanes(
     g = jnp.take(vp, rows.reshape(-1), axis=0)     # [B*Q*lanes, 4D]
     k = L * p
     g = g.reshape(b, q, h, k, 4 * d)               # lane split: sublanes only
+
+    if reduce == "mxu":
+        # flatpatch's corner reduction: spread each corner weight over its D
+        # lanes with a static [4, 4D] matmul and segment-sum corners+K with a
+        # static [4D, D] matmul. Measured 0.74 vs 1.50 ms/layer for the
+        # broadcast-mask w_lanes build at encoder shapes (scripts/enc_trace.py
+        # 2026-08-17) — combining this reduce with the packed index path
+        # (no [..,P,L]-minor relayout copies) is the best of both cores.
+        w4 = jnp.stack([w00, w01, w10, w11], axis=-1).reshape(b, q, h, k, 4)
+        spread = jnp.repeat(jnp.eye(4, dtype=g.dtype), d, axis=1)  # [4, 4d]
+        seg = jnp.tile(jnp.eye(d, dtype=jnp.float32), (4, 1))      # [4d, d]
+        w_lanes = jax.lax.dot_general(
+            w4.astype(g.dtype), spread,
+            (((4,), (0,)), ((), ())), preferred_element_type=g.dtype,
+        )  # [B, Q, H, K, 4d]
+        out = jnp.einsum(
+            "bqhkC,Cd->bqhd", g * w_lanes, seg,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(b, q, h * d).astype(value.dtype)
 
     # w_lanes [B,Q,H,K,4D] assembled from the packed per-corner factors with
     # constant lane masks (corner-major layout: lane2 = corner*D + c)

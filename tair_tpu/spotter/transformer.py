@@ -144,7 +144,9 @@ class EncoderLayer(nn.Module):
     # vs 13.9ms chunked on v5e. Training (autodiff residuals at batch>=2) can
     # lower this via TESTRConfig.enc_msda_q_chunk.
     msda_q_chunk: int = 16384
-    msda_core: str = "flatpatch"
+    # packed-index + MXU-reduce core: 3.74 vs 4.57 ms/layer device time at
+    # encoder shapes (scripts/enc_trace.py A/B, v5e 2026-08-17)
+    msda_core: str = "flatlanes"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
@@ -172,6 +174,7 @@ class CompositeDecoderLayer(nn.Module):
     # flatpatch-mxu wins at decoder cross-attn shapes too (Q=1600/2500:
     # 1.9/1.8ms vs flat 2.1/7.2ms on v5e); unchunked at these sizes
     msda_q_chunk: int = 16384
+    msda_core: str = "flatlanes"
 
     @nn.compact
     def __call__(
@@ -206,7 +209,7 @@ class CompositeDecoderLayer(nn.Module):
         ref = jnp.tile(reference_points[:, :, None], (1, 1, n_pts, 1, 1))
         a = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, core="flatpatch", q_chunk=self.msda_q_chunk,
+            dtype=self.dtype, core=self.msda_core, q_chunk=self.msda_q_chunk,
             name="attn_cross",
         )(
             (tgt + query_pos).reshape(b, k * n_pts, c),
@@ -241,7 +244,7 @@ class CompositeDecoderLayer(nn.Module):
         ref_t = jnp.tile(reference_points[:, :, None], (1, 1, n_words, 1, 1))
         a = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, core="flatpatch", q_chunk=self.msda_q_chunk,
+            dtype=self.dtype, core=self.msda_core, q_chunk=self.msda_q_chunk,
             name="attn_cross_text",
         )(
             (tgt_text + qp_text).reshape(b, k * n_words, c),
