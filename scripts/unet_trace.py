@@ -45,7 +45,9 @@ def summarize(log_dir, top=20):
 
 def main():
     from tair_tpu.models.cldm import ControlLDM
+    from tair_tpu.ops.attention import enable_inference_kernels
 
+    print("attention impl:", enable_inference_kernels())
     cldm = ControlLDM.create(dtype=jnp.bfloat16)
     params = cldm.init(jax.random.PRNGKey(0), latent_hw=8)
     x = jnp.zeros((1, 64, 64, 4), jnp.float32)

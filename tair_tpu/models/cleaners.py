@@ -172,9 +172,11 @@ class SCUNet(nn.Module):
                            dtype=self.dtype, param_dtype=jnp.float32, name=name)(x)
 
         def up(x, out_ch, name):
+            # transpose_kernel=True + [kh,kw,out,in] layout matches torch
+            # ConvTranspose2d semantics exactly (verified vs scunet.py m_up*)
             return nn.ConvTranspose(out_ch, (2, 2), strides=(2, 2), use_bias=False,
                                     dtype=self.dtype, param_dtype=jnp.float32,
-                                    name=name)(x)
+                                    transpose_kernel=True, name=name)(x)
 
         x1 = nn.Conv(d, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="head")(x0)

@@ -371,6 +371,100 @@ def convert_swinir(sd: TorchDict, cfg, prefix: str = "") -> Tuple[Params, Reader
 
 
 # --------------------------------------------------------------------------
+# DiffBIR cleaners (BSRNet / SCUNet)
+# --------------------------------------------------------------------------
+
+def convert_bsrnet(sd: TorchDict, cfg, prefix: str = "") -> Tuple[Params, Reader]:
+    """BSRNet/BSRGAN RRDBNet checkpoint (bsrnet.py:75-104 key layout:
+    conv_first, RRDB_trunk.N.RDBM.convK, trunk_conv, upconv1/2, HRconv,
+    conv_last)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    r = Reader(sd, prefix)
+    out: Params = {}
+    _conv(out, "conv_first", r, "conv_first")
+    for i in range(cfg.nb):
+        for j in range(3):
+            for k in range(5):
+                _conv(
+                    out, f"rrdb_{i}/rdb{j + 1}/conv{k + 1}", r,
+                    f"RRDB_trunk.{i}.RDB{j + 1}.conv{k + 1}",
+                )
+    _conv(out, "trunk_conv", r, "trunk_conv")
+    _conv(out, "upconv1", r, "upconv1")
+    if cfg.sf == 4:
+        _conv(out, "upconv2", r, "upconv2")
+    _conv(out, "hr_conv", r, "HRconv")
+    _conv(out, "conv_last", r, "conv_last")
+    return out, r
+
+
+def convert_scunet(sd: TorchDict, cfg, prefix: str = "") -> Tuple[Params, Reader]:
+    """SCUNet denoiser checkpoint (scunet.py:163-224 key layout: m_head.0,
+    m_{down,up}N / m_body Sequential of ConvTransBlocks with WMSA swin
+    branches, m_tail.0).
+
+    WMSA stores its relative bias as [heads, 2w-1, 2w-1]
+    (scunet.py:26-32 view+transpose); our WindowAttention uses the swinir
+    [(2w-1)^2, heads] table with the standard query-minus-key index, so the
+    conversion transposes back. ConvTranspose weights go torch
+    [in, out, kh, kw] -> flax [kh, kw, in, out]."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    r = Reader(sd, prefix)
+    out: Params = {}
+
+    def swin_block(dst, src):
+        _norm(out, f"{dst}/trans/norm1", r, f"{src}.trans_block.ln1")
+        _norm(out, f"{dst}/trans/norm2", r, f"{src}.trans_block.ln2")
+        _lin(out, f"{dst}/trans/attn/qkv", r, f"{src}.trans_block.msa.embedding_layer")
+        _lin(out, f"{dst}/trans/attn/proj", r, f"{src}.trans_block.msa.linear")
+        rel = r(f"{src}.trans_block.msa.relative_position_params")
+        # [h, A, B] -> [(A*B), h]
+        _set(out, f"{dst}/trans/attn/rel_pos_bias_table",
+             np.transpose(rel, (1, 2, 0)).reshape(-1, rel.shape[0]))
+        _lin(out, f"{dst}/trans/mlp_fc1", r, f"{src}.trans_block.mlp.0")
+        _lin(out, f"{dst}/trans/mlp_fc2", r, f"{src}.trans_block.mlp.2")
+        _conv(out, f"{dst}/conv1_1", r, f"{src}.conv1_1")
+        _conv(out, f"{dst}/conv1_2", r, f"{src}.conv1_2")
+        _set(out, f"{dst}/cb1/kernel", t_conv(r(f"{src}.conv_block.0.weight")))
+        _set(out, f"{dst}/cb2/kernel", t_conv(r(f"{src}.conv_block.2.weight")))
+
+    def conv_transpose(dst, src):
+        # torch [in, out, kh, kw] -> flax transpose_kernel=True [kh, kw, out, in]
+        w = r(f"{src}.weight")
+        _set(out, f"{dst}/kernel", np.transpose(w, (2, 3, 1, 0)))
+
+    def conv_nb(dst, src):  # bias-free convs (head/tail/downN/conv_block)
+        _set(out, f"{dst}/kernel", t_conv(r(f"{src}.weight")))
+
+    conv_nb("head", "m_head.0")
+    n = cfg.config
+    for i in range(n[0]):
+        swin_block(f"down1_{i}", f"m_down1.{i}")
+    conv_nb("down1_conv", f"m_down1.{n[0]}")
+    for i in range(n[1]):
+        swin_block(f"down2_{i}", f"m_down2.{i}")
+    conv_nb("down2_conv", f"m_down2.{n[1]}")
+    for i in range(n[2]):
+        swin_block(f"down3_{i}", f"m_down3.{i}")
+    conv_nb("down3_conv", f"m_down3.{n[2]}")
+    for i in range(n[3]):
+        swin_block(f"body_{i}", f"m_body.{i}")
+    conv_transpose("up3_conv", "m_up3.0")
+    for i in range(n[4]):
+        swin_block(f"up3_{i}", f"m_up3.{i + 1}")
+    conv_transpose("up2_conv", "m_up2.0")
+    for i in range(n[5]):
+        swin_block(f"up2_{i}", f"m_up2.{i + 1}")
+    conv_transpose("up1_conv", "m_up1.0")
+    for i in range(n[6]):
+        swin_block(f"up1_{i}", f"m_up1.{i + 1}")
+    conv_nb("tail", "m_tail.0")
+    return out, r
+
+
+# --------------------------------------------------------------------------
 # TESTR
 # --------------------------------------------------------------------------
 

@@ -250,6 +250,65 @@ def test_swinir_forward_parity_with_reference():
     )
 
 
+def test_bsrnet_forward_parity_with_reference():
+    """DiffBIR's BSRNet stage-1 cleaner (bsrnet.py:75-104, x4)."""
+    ref_bsrnet = ref_module("bsrnet")
+    ref = _randomize(ref_bsrnet.RRDBNet(nf=8, nb=2, gc=4, sf=4), seed=7)
+
+    from tair_tpu.models.cleaners import RRDBNet, RRDBNetConfig
+    from tair_tpu.weights.convert import _cast_like, convert_bsrnet
+
+    cfg = RRDBNetConfig(nf=8, nb=2, gc=4, sf=4)
+    model = RRDBNet(cfg)
+    rng = np.random.default_rng(6)
+    img = rng.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(_nchw(img))
+
+    params, reader = convert_bsrnet(_sd_numpy(ref), cfg, prefix="")
+    assert reader.missing == set(), sorted(reader.missing)
+    assert reader.unused() == set(), sorted(reader.unused())
+    tmpl = model.init(jax.random.PRNGKey(0), jnp.asarray(img))["params"]
+    params = _cast_like(params, tmpl)
+
+    out = model.apply({"params": params}, jnp.asarray(img))
+    np.testing.assert_allclose(
+        np.asarray(out), _to_nhwc(ref_out), atol=5e-4, rtol=2e-3
+    )
+
+
+def test_scunet_forward_parity_with_reference():
+    """DiffBIR's SCUNet denoiser (scunet.py:163-264; head_dim=32 and
+    window=8 are hardcoded there, so dim=64 is the smallest geometry)."""
+    ref_scunet = ref_module("scunet")
+    ref = _randomize(
+        ref_scunet.SCUNet(in_nc=3, config=[1] * 7, dim=64), seed=8
+    )
+
+    from tair_tpu.models.cleaners import SCUNet, SCUNetConfig
+    from tair_tpu.weights.convert import _cast_like, convert_scunet
+
+    cfg = SCUNetConfig(dim=64, config=(1,) * 7)
+    model = SCUNet(cfg)
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(_nchw(img))
+
+    params, reader = convert_scunet(_sd_numpy(ref), cfg, prefix="")
+    assert reader.missing == set(), sorted(reader.missing)
+    assert reader.unused() == set(), sorted(reader.unused())
+    tmpl = model.init(jax.random.PRNGKey(0), jnp.asarray(img))["params"]
+    params = _cast_like(params, tmpl)
+
+    out = model.apply({"params": params}, jnp.asarray(img))
+    np.testing.assert_allclose(
+        np.asarray(out), _to_nhwc(ref_out), atol=5e-4, rtol=2e-3
+    )
+
+
 def test_clip_forward_parity_with_reference():
     ref_clip = ref_module("clip")
     vision_cfg = dict(layers=1, width=8, head_width=8, patch_size=16, image_size=32)
