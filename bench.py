@@ -37,17 +37,21 @@ def main() -> None:
 
     import os
 
-    # bf16-resident params (TAIR_BENCH_CAST=1): XLA's AOT memory analysis
-    # shows fp32 masters cost 6.3 GiB args + 3.7 GiB temps (the hoisted bf16
-    # weight copies) vs 3.2 + 0.8 GiB bf16-resident — the serving config for
-    # batch scaling. Speed at batch 1 measured equal (round 1).
-    if os.environ.get("TAIR_BENCH_CAST", "0") == "1":
+    # bf16-resident params (default): XLA's AOT memory analysis shows fp32
+    # masters cost 6.3 GiB args + 3.7 GiB temps (the hoisted bf16 weight
+    # copies) vs 3.2 + 0.8 GiB bf16-resident, and measured throughput is
+    # slightly better too (0.348 vs 0.344 img/s/chip at batch 1, round 2) —
+    # the serving config. TAIR_BENCH_CAST=0 keeps fp32 masters.
+    if os.environ.get("TAIR_BENCH_CAST", "1") == "1":
         from tair_tpu.pipeline import cast_params_for_inference
 
         params = cast_params_for_inference(params)
 
-    # batch 1 is the validated configuration on a single 16GB v5e chip; the
-    # fused spotter-in-loop graph at batch >= 2 exceeds HBM (see STATUS.md)
+    # batch 1 is the throughput-optimal configuration on a v5e chip: the
+    # round-2 sweep measured 0.348 (b=1) vs 0.299 (b=2) vs 0.301 (b=4)
+    # img/s/chip bf16-resident — the loop is dominated by linearly-scaling
+    # msda gathers, and batch>=2 additionally loses ~16%/image to unfused
+    # convs + layout copies (scripts/trace_diff.py; docs/PERFORMANCE.md)
     batch = int(os.environ.get("TAIR_BENCH_BATCH", "1"))
     # headline metric runs the spotter EVERY step (reference val_sample
     # semantics, spaced_sampler.py:283-317); >1 is the measured serving

@@ -38,17 +38,23 @@ def init_distributed() -> None:
     """
     import os
 
-    cluster_env = any(
+    coordinator = any(
         k in os.environ
         for k in (
             "JAX_COORDINATOR_ADDRESS",
             "COORDINATOR_ADDRESS",
             "MEGASCALE_COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES",  # cloud TPU pod
-            "SLURM_JOB_NUM_NODES",
         )
     )
-    if not cluster_env:
+    # cloud TPU pod: multi-host only when there is MORE THAN ONE worker —
+    # single-chip PJRT plugins (e.g. the axon relay) set
+    # TPU_WORKER_HOSTNAMES=localhost in every process, and calling
+    # initialize() there fails hard once the backend is up
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = "," in workers
+    slurm_nodes = os.environ.get("SLURM_JOB_NUM_NODES", "1")
+    multi_node = slurm_nodes.isdigit() and int(slurm_nodes) > 1
+    if not (coordinator or multi_worker or multi_node):
         return  # single-process: nothing to initialize
     try:
         jax.distributed.initialize()

@@ -568,6 +568,40 @@ def ms_deform_attn_core_flatlanes(
     k = L * p
     g = g.reshape(b, q, h, k, 4 * d)               # lane split: sublanes only
 
+    if reduce == "fused":
+        # One XLA reduce fusion: corner-mask select + multiply + sum over
+        # (level, point), with NO [B*Q*lanes, 4D] intermediate. The "mxu"
+        # path builds w_lanes with a spread MATMUL, and dot operands cannot
+        # fuse with their producers on XLA-TPU — so g*w_lanes materializes
+        # (310 MB/layer at encoder shapes: the 0.95 ms broadcast_select
+        # fusion in the round-2 trace, scripts/trace_diff.py). Building
+        # w_lanes from static corner masks keeps the whole chain
+        # elementwise, so the k-reduce fuses directly onto the gather
+        # output; only the tiny [4D, D] segment matmul stays a dot, reading
+        # the already-reduced [B, Q, H, 4D] tensor.
+        # MEASURED SLOWER than "mxu" on v5e (6.13 vs 5.25 ms/module at
+        # encoder shapes, scripts/reduce_ab.py): XLA's k-reduce fusion
+        # codegen costs more than the g*w HBM round-trip it avoids. Kept as
+        # a documented negative result / future-compiler seam.
+        cmask = np.zeros((4, 4 * d), np.float32)
+        for corner in range(4):
+            cmask[corner, corner * d : (corner + 1) * d] = 1.0
+        cm = jnp.asarray(cmask)
+        w_l = (
+            w00[..., None] * cm[0]
+            + w01[..., None] * cm[1]
+            + w10[..., None] * cm[2]
+            + w11[..., None] * cm[3]
+        )  # [B, Q, lanes, 4D] — virtual: consumed inside the reduce fusion
+        red = (
+            g.astype(jnp.float32) * w_l.reshape(b, q, h, k, 4 * d)
+        ).sum(axis=3)                               # [B, Q, H, 4D]
+        seg = jnp.tile(jnp.eye(d, dtype=jnp.float32), (4, 1))  # [4d, d]
+        out = jnp.einsum(
+            "bqhC,Cd->bqhd", red, seg, preferred_element_type=jnp.float32
+        )
+        return out.reshape(b, q, h * d).astype(value.dtype)
+
     if reduce == "mxu":
         # flatpatch's corner reduction: spread each corner weight over its D
         # lanes with a static [4, 4D] matmul and segment-sum corners+K with a
@@ -638,6 +672,12 @@ class MSDeformAttn(nn.Module):
     # build is not amortized there), "flatpatch" wins at encoder shapes
     # (Q=S~9.5k) where the unpadded 128-lane rows cut gather traffic 4x.
     core: str = "flat"
+    # corner reduction of the flatlanes core: "mxu" (spread/segment matmuls)
+    # vs "fused" (single XLA reduce fusion, no g*w materialization) vs
+    # "mask". "mxu" measured fastest (5.25 vs fused 6.13 ms/module at
+    # encoder shapes, scripts/reduce_ab.py v5e): XLA's k-reduce fusion
+    # implementation loses more than the 310MB g*w round-trip costs.
+    reduce_mode: str = "mxu"
     q_chunk: int = 2048
 
     @nn.compact
@@ -712,7 +752,7 @@ class MSDeformAttn(nn.Module):
 
             out = ms_deform_attn_core_flatlanes(
                 value, spatial_shapes, locx, locy, attn_p,
-                q_chunk=self.q_chunk,
+                q_chunk=self.q_chunk, reduce=self.reduce_mode,
             )
             return nn.Dense(
                 self.d_model, dtype=self.dtype, param_dtype=jnp.float32,

@@ -32,11 +32,37 @@ def test_single_process_does_not_initialize(record_initialize):
     assert record_initialize == []
 
 
-@pytest.mark.parametrize("var", _CLUSTER_VARS)
-def test_cluster_env_initializes(record_initialize, monkeypatch, var):
-    monkeypatch.setenv(var, "somewhere:1234")
+@pytest.mark.parametrize(
+    "var, value",
+    [
+        ("JAX_COORDINATOR_ADDRESS", "somewhere:1234"),
+        ("COORDINATOR_ADDRESS", "somewhere:1234"),
+        ("MEGASCALE_COORDINATOR_ADDRESS", "somewhere:1234"),
+        ("TPU_WORKER_HOSTNAMES", "host0,host1"),  # >1 worker = pod
+        ("SLURM_JOB_NUM_NODES", "2"),
+    ],
+)
+def test_cluster_env_initializes(record_initialize, monkeypatch, var, value):
+    monkeypatch.setenv(var, value)
     init_distributed()
     assert record_initialize == [1]
+
+
+@pytest.mark.parametrize(
+    "var, value",
+    [
+        # single-chip PJRT relays (axon) set this in EVERY process; a lone
+        # worker is not a pod and initialize() would fail hard post-backend
+        ("TPU_WORKER_HOSTNAMES", "localhost"),
+        ("SLURM_JOB_NUM_NODES", "1"),
+    ],
+)
+def test_single_worker_env_does_not_initialize(
+    record_initialize, monkeypatch, var, value
+):
+    monkeypatch.setenv(var, value)
+    init_distributed()
+    assert record_initialize == []
 
 
 def test_double_initialize_is_swallowed(monkeypatch):

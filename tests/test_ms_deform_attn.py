@@ -270,10 +270,13 @@ def test_flatlanes_variant_matches_core():
                             jnp.asarray(attn))
     )
     lx, ly, aw = _pack_lanes(jnp.asarray(locs), jnp.asarray(attn))
-    out = np.asarray(
-        ms_deform_attn_core_flatlanes(jnp.asarray(value), shapes, lx, ly, aw)
-    )
-    np.testing.assert_allclose(out, ref, atol=1e-5)
+    for reduce in ("fused", "mxu", "mask"):
+        out = np.asarray(
+            ms_deform_attn_core_flatlanes(
+                jnp.asarray(value), shapes, lx, ly, aw, reduce=reduce
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5, err_msg=reduce)
 
 
 def test_flatlanes_chunked_and_grads():
