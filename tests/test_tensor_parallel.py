@@ -49,6 +49,45 @@ def test_indivisible_shapes_stay_replicated():
 
 
 @pytest.mark.slow
+def test_tp_inference_restore_matches_single_device():
+    """The batch-1 serving claim: the fused TeReDiff restore loop runs
+    under a 1(data) x 2(model) mesh with Megatron-sharded weights and
+    reproduces the unsharded result (GSPMD is layout-only). score_threshold
+    > 1 keeps the OCR prompt empty so the comparison is free of argmax
+    discreteness; the spotter forward itself still runs sharded."""
+    from tair_tpu.pipeline import build_tiny_model
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+
+    def run(p, lq, r):
+        restored, tokens = model.restore_fused_feedback(
+            p, lq, r, steps=2, score_threshold=1.1
+        )
+        return restored, tokens
+
+    ref, ref_tok = jax.jit(run)(params, lq, jax.random.PRNGKey(2))
+
+    mesh = create_mesh(n_data=1, n_model=2)
+    with mesh:
+        p_tp = shard_params_tp(mesh, params)
+        n, _, _ = count_sharded(params, 2)
+        assert n > 0, "tiny model must have at least one TP-sharded kernel"
+        lq_r = replicate(mesh, lq)
+        rng_r = replicate(mesh, jax.random.PRNGKey(2))
+        out, tok = jax.jit(run)(p_tp, lq_r, rng_r)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+
+
+@pytest.mark.slow
 def test_dp_tp_step_matches_dp_only():
     """One full stage-3 step on a 4x2 mesh must agree with the 8x1 result
     (GSPMD is layout-only; the global program is identical)."""
