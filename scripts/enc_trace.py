@@ -29,26 +29,11 @@ from tair_tpu.spotter.transformer import EncoderLayer
 REPS = 20
 
 
-def summarize(log_dir, top=12):
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+from _xplane import print_top
 
-    xp = sorted(glob.glob(f"{log_dir}/**/*.xplane.pb", recursive=True))
-    if not xp:
-        print("  (no xplane)")
-        return
-    xs = xplane_pb2.XSpace()
-    with open(xp[-1], "rb") as f:
-        xs.ParseFromString(f.read())
-    for plane in xs.planes:
-        if "TPU" not in plane.name:
-            continue
-        total = defaultdict(float)
-        for line in plane.lines:
-            for ev in line.events:
-                md = plane.event_metadata[ev.metadata_id]
-                total[md.name] += ev.duration_ps / 1e9
-        for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"  {ms / REPS:7.3f} ms/iter  {name[:100]}")
+
+def summarize(log_dir, top=12):
+    print_top(log_dir, top=top, per=REPS, leaf_only=False)
 
 
 def run_core(core):

@@ -28,28 +28,11 @@ from tair_tpu.pipeline import build_default_model, cast_params_for_inference
 STEPS = 50
 
 
-def summarize(log_dir, top=24):
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+from _xplane import print_top
 
-    xp = sorted(glob.glob(f"{log_dir}/**/*.xplane.pb", recursive=True))
-    if not xp:
-        print("  (no xplane)")
-        return
-    xs = xplane_pb2.XSpace()
-    with open(xp[-1], "rb") as f:
-        xs.ParseFromString(f.read())
-    for plane in xs.planes:
-        if "TPU" not in plane.name:
-            continue
-        total = defaultdict(float)
-        for line in plane.lines:
-            for ev in line.events:
-                md = plane.event_metadata[ev.metadata_id]
-                total[md.name] += ev.duration_ps / 1e9
-        dev_total = sum(total.values())
-        print(f"  device total: {dev_total:.1f} ms")
-        for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"  {ms:8.1f} ms  {name[:110]}")
+
+def summarize(log_dir, top=24):
+    print_top(log_dir, top=top, per=1, leaf_only=True)
 
 
 def run_batch(b):

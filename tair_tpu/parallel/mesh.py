@@ -28,15 +28,25 @@ def init_distributed() -> None:
 
     `jax.process_count()` is NOT a valid probe before `initialize()` (it
     reports 1 until the coordinator handshake happens), so we gate on the
-    cluster environment instead: call `jax.distributed.initialize()` whenever
-    a coordinator/cluster env is present (JAX_COORDINATOR_ADDRESS, or a cloud
-    TPU/GKE metadata env that jax's ClusterEnv auto-detects), and let
-    `initialize()` itself auto-detect when possible. A RuntimeError from
-    double-initialization is the only error swallowed; real init failures
-    propagate so multi-host misconfiguration fails loudly instead of
-    deadlocking in the first collective.
+    cluster environment instead: call `jax.distributed.initialize()` when a
+    coordinator address, a multi-worker TPU pod env (>1 hostname in
+    TPU_WORKER_HOSTNAMES), or a multi-node SLURM allocation is present.
+    A RuntimeError from double-initialization is the only error swallowed;
+    real init failures propagate so multi-host misconfiguration fails
+    loudly instead of deadlocking in the first collective.
+
+    Caveat: plain GCE TPU pod slices advertise their topology via the
+    metadata SERVER (jax's GceTpuCluster queries it inside initialize()),
+    not via env vars, so env probing cannot see them. For those, set
+    TAIR_MULTIHOST=1 (or JAX_COORDINATOR_ADDRESS) to force the call —
+    unconditional initialize() is not an option because single-chip PJRT
+    relays would then crash at startup (see the worker gate below).
     """
     import os
+
+    if os.environ.get("TAIR_MULTIHOST", "0") == "1":
+        jax.distributed.initialize()
+        return
 
     coordinator = any(
         k in os.environ
@@ -71,6 +81,10 @@ def create_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} impossible with {len(devices)} devices"
+        )
     # an explicit smaller mesh uses the first n_data*n_model devices (e.g.
     # a 1x1 smoke config on a host that exposes 8 virtual devices)
     if n_data * n_model < len(devices):

@@ -97,6 +97,11 @@ def _jv_single(A: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     Returns [M] assigned query index, -1 for padded targets.
     """
     m, q = A.shape
+    # rows are the force-assigned side: every row receives a column, so the
+    # shortest-augmenting-path search requires a free column to exist for
+    # each of the m rows — with m > q the (m+1)-th Dijkstra pass would spin
+    # forever. jv_assignment guarantees this orientation.
+    assert m <= q, f"_jv_single needs rows<=cols, got {m}x{q}"
     A = jnp.where((jnp.arange(m) < n_valid)[:, None], A.astype(jnp.float32), 0.0)
     inf = jnp.float32(1e30)
 
@@ -177,9 +182,32 @@ def jv_assignment(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     [B, M] matched query per target (-1 = padding). The default matcher:
     same optimum as the host scipy/C++ path but with no pure_callback, so
     the train step stays SPMD-partitionable (no involuntary device-0
-    rematerialization — VERDICT round 1, weak #3)."""
-    a = jnp.swapaxes(jax.lax.stop_gradient(cost.astype(jnp.float32)), 1, 2)
-    return jax.vmap(_jv_single)(a, n_valid.astype(jnp.int32))
+    rematerialization — VERDICT round 1, weak #3).
+
+    Handles both orientations: with M <= Q the cost is solved target-major
+    (constant-0 padded rows are assignment-indifferent). With M > Q (more
+    padded target slots than queries, e.g. dataset.max_instances >
+    num_proposals) it is solved query-major with LARGE-constant padded
+    columns — large so the optimum always prefers real targets, matching
+    scipy's rectangular semantics of matching min(Q, n_valid) targets —
+    and the assignment inverted back to target-major."""
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    b, q, m = cost.shape
+    n_valid = n_valid.astype(jnp.int32)
+    if m <= q:
+        a = jnp.swapaxes(cost, 1, 2)
+        return jax.vmap(_jv_single)(a, n_valid)
+
+    big = jnp.float32(1e6)
+    pad_cols = jnp.arange(m)[None, None, :] >= n_valid[:, None, None]
+    a = jnp.where(pad_cols, big, cost)  # [B, Q(rows), M(cols)], Q < M
+    col4row = jax.vmap(lambda A: _jv_single(A, jnp.int32(q)))(a)  # [B, Q]
+    # invert: target -> query, -1 where unmatched or padded
+    out = jnp.full((b, m), -1, jnp.int32)
+    out = jax.vmap(
+        lambda o, c: o.at[c].set(jnp.arange(q, dtype=jnp.int32))
+    )(out, col4row)
+    return jnp.where(jnp.arange(m)[None] < n_valid[:, None], out, -1)
 
 
 def greedy_assignment(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:

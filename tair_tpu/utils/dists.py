@@ -40,18 +40,25 @@ _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _l2_pool(x: jnp.ndarray, size: int = 5, stride: int = 2) -> jnp.ndarray:
-    """Hann-windowed L2 pooling (official DISTS's anti-aliased downsample)."""
-    w1 = np.hanning(size + 2)[1:-1]
+    """Hann-windowed L2 pooling (official DISTS's anti-aliased downsample).
+
+    Matches the official L2pooling exactly: `filter_size=5` means
+    np.hanning(5)[1:-1] — a 3-tap [0.25, 0.5, 0.25] window — applied with
+    padding (filter_size-2)//2 = 1. (An earlier cut used hanning(size+2),
+    a 5-tap window: same output shape, different values — which would
+    mis-calibrate converted official alpha/beta weights.)"""
+    w1 = np.hanning(size)[1:-1]
+    k = len(w1)
     win = np.outer(w1, w1)
     win = (win / win.sum()).astype(np.float32)
     c = x.shape[-1]
     # depthwise HWIO kernel: [k, k, 1, C] with feature_group_count=C
-    kernel = jnp.broadcast_to(jnp.asarray(win)[:, :, None, None], (size, size, 1, c))
+    kernel = jnp.broadcast_to(jnp.asarray(win)[:, :, None, None], (k, k, 1, c))
     out = jax.lax.conv_general_dilated(
         (x * x).astype(jnp.float32),
         kernel,
         window_strides=(stride, stride),
-        padding=[(size // 2, size // 2)] * 2,
+        padding=[((size - 2) // 2, (size - 2) // 2)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
     )

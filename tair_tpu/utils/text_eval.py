@@ -29,7 +29,7 @@ asserts identical counts.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -203,23 +203,30 @@ def evaluate_image(
         gt_dontcare_det.append(dc_det)
 
     # --- detections overlapping a don't-care GT are excluded ---
+    # rasterize each (don't-care GT, det) intersection ONCE: gt_dontcare_det
+    # implies gt_dontcare, so one precomputed ratio serves both the e2e and
+    # det-only exclusion rules (each rasterization builds two 768^2 masks)
+    inter_over_det: Dict[Tuple[int, int], float] = {}
+    for g in range(len(gts)):
+        if not gt_dontcare[g]:
+            continue
+        for d, pr in enumerate(preds):
+            inter_over_det[(g, d)] = polygon_intersection_over_det(
+                gts[g].polygon, pr.polygon
+            )
     det_dontcare: List[bool] = []
     det_dontcare_det: List[bool] = []
-    for pr in preds:
-        dc = any(
+    for d in range(len(preds)):
+        det_dontcare.append(any(
             gt_dontcare[g]
-            and polygon_intersection_over_det(gts[g].polygon, pr.polygon)
-            > area_precision_threshold
+            and inter_over_det[(g, d)] > area_precision_threshold
             for g in range(len(gts))
-        )
-        dc_det = any(
+        ))
+        det_dontcare_det.append(any(
             gt_dontcare_det[g]
-            and polygon_intersection_over_det(gts[g].polygon, pr.polygon)
-            > area_precision_threshold
+            and inter_over_det[(g, d)] > area_precision_threshold
             for g in range(len(gts))
-        )
-        det_dontcare.append(dc)
-        det_dontcare_det.append(dc_det)
+        ))
 
     iou = np.zeros((len(gts), len(preds)), np.float64)
     for g in range(len(gts)):

@@ -84,8 +84,26 @@ def test_real_init_failure_propagates(monkeypatch):
         init_distributed()
 
 
+def test_tair_multihost_forces_initialize(record_initialize, monkeypatch):
+    """Plain GCE pod slices advertise topology via the metadata server, not
+    env vars — TAIR_MULTIHOST=1 is the documented explicit opt-in."""
+    monkeypatch.setenv("TAIR_MULTIHOST", "1")
+    init_distributed()
+    assert record_initialize == [1]
+
+
 def test_create_mesh_slices_when_fewer_devices_requested():
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 devices")
     mesh = create_mesh(n_data=1, n_model=1)
     assert mesh.devices.size == 1
+
+
+def test_create_mesh_rejects_impossible_topologies():
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="impossible"):
+        create_mesh(n_data=n, n_model=2)  # needs 2n devices
+    if n < 2:
+        pytest.skip("zero-data-axis case needs n_model > device count")
+    with pytest.raises(ValueError, match="impossible"):
+        create_mesh(n_model=2 * n)  # n_data would be 0

@@ -55,6 +55,30 @@ def test_jv_matches_scipy_optimum(q, m):
     )
 
 
+@pytest.mark.parametrize("q,m", [(3, 5), (8, 32), (100, 128), (1, 4)])
+def test_jv_more_target_slots_than_queries(q, m):
+    """M > Q (e.g. dataset.max_instances > num_proposals): must terminate
+    (the target-major orientation would deadlock once every query column is
+    taken) and still reach scipy's optimum, matching min(Q, n_valid)
+    targets."""
+    rng = np.random.default_rng(7)
+    b = 3
+    cost = rng.normal(size=(b, q, m)).astype(np.float32) * 10
+    n_valid = np.asarray([0, min(q, m) // 2 + 1, m], np.int32)[:b]
+
+    out = np.asarray(jv_assignment(jnp.asarray(cost), jnp.asarray(n_valid)))
+
+    total = 0.0
+    for i in range(b):
+        matched = [(t, out[i, t]) for t in range(m) if out[i, t] >= 0]
+        assert all(t < n_valid[i] for t, _ in matched)
+        assert len(matched) == min(q, int(n_valid[i]))
+        qs = [qq for _, qq in matched]
+        assert len(set(qs)) == len(qs)  # distinct queries
+        total += sum(cost[i, qq, t] for t, qq in matched)
+    np.testing.assert_allclose(total, _scipy_cost(cost, n_valid), rtol=1e-5)
+
+
 def test_jv_under_jit_and_nonneg_and_duplicate_costs():
     rng = np.random.default_rng(1)
     cost = np.round(rng.uniform(0, 3, size=(2, 12, 5))).astype(np.float32)
