@@ -16,7 +16,7 @@ Python-side accumulation, so memory stays at n_tags x feature pyramid.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +64,13 @@ class SpacedSampler(SamplerBase):
         uncond,
         cfg_scale,
     ):
-        if uncond is None:
+        # cfg_scale is a static Python float: at 1.0 the combined output
+        # reduces to the conditional branch exactly (cosine rescale only
+        # activates for scale > 1), so skip the second UNet+ControlNet
+        # forward (reference spaced_sampler.py:158 guard)
+        if uncond is None or (
+            isinstance(cfg_scale, (int, float)) and float(cfg_scale) == 1.0
+        ):
             return model_fn(x, model_t, cond)
         out_c, feats = model_fn(x, model_t, cond)
         out_u, _ = model_fn(x, model_t, uncond)
@@ -108,7 +114,6 @@ class SpacedSampler(SamplerBase):
         uncond=None,
         cfg_scale: float = 1.0,
         feat_iterations: Sequence[int] = (),
-        feat_shapes: Optional[Sequence[Tuple[int, ...]]] = None,
     ):
         """Run the full spaced-DDPM chain as one lax.scan.
 
@@ -121,6 +126,15 @@ class SpacedSampler(SamplerBase):
         sp = self.make_schedule(steps)
         total = sp.num_steps
         tags = np.asarray(sorted(feat_iterations), dtype=np.int32)
+        if len(tags) and int(tags[-1]) > total:
+            # a tag past the chain length would never fire and its fixed
+            # buffer slot would silently stay zeros — the spotter would then
+            # run on blank "features" (the reference appends only fired
+            # tags, spaced_sampler.py:240-242, so its consumers see fewer)
+            raise ValueError(
+                f"feat_iterations {sorted(feat_iterations)} exceed the "
+                f"{total}-step chain; tags are 1-based iteration numbers"
+            )
 
         # Probe feature shapes abstractly (no FLOPs) to allocate tag buffers.
         if len(tags) > 0:

@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from .matcher import (
     box_cxcywh_to_xyxy,
@@ -50,7 +51,7 @@ def sigmoid_focal_loss(logits, targets_onehot, num_inst, alpha=0.25, gamma=2.0):
     sum over batch and class, / num_inst (losses.py:9-40)."""
     logits = logits.astype(jnp.float32)
     prob = jax.nn.sigmoid(logits)
-    ce = optax_sigmoid_ce(logits, targets_onehot)
+    ce = optax.sigmoid_binary_cross_entropy(logits, targets_onehot)
     p_t = prob * targets_onehot + (1 - prob) * (1 - targets_onehot)
     loss = ce * ((1 - p_t) ** gamma)
     if alpha >= 0:
@@ -60,11 +61,6 @@ def sigmoid_focal_loss(logits, targets_onehot, num_inst, alpha=0.25, gamma=2.0):
     if loss.ndim == 3:
         return loss.mean(axis=1).sum() / num_inst
     raise ValueError(loss.ndim)
-
-
-def optax_sigmoid_ce(logits, labels):
-    # binary cross entropy with logits, elementwise
-    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
 def _gather_by_src(pred: jnp.ndarray, src_idx: jnp.ndarray) -> jnp.ndarray:
@@ -77,7 +73,15 @@ def _gather_by_src(pred: jnp.ndarray, src_idx: jnp.ndarray) -> jnp.ndarray:
 
 def dec_losses(outputs, targets, src_idx, num_inst, cfg: CriterionConfig):
     """Decoder losses for one layer's outputs."""
-    mask = targets["inst_mask"].astype(jnp.float32)  # [B, M]
+    # valid AND matched: with more valid targets than queries (the
+    # matcher's M > Q orientation) the surplus targets carry src_idx == -1
+    # and must contribute nothing — clipping them to query 0 would stack
+    # multiple "one-hot" targets on it (reference: unmatched targets simply
+    # don't appear in scipy's assignment lists)
+    mask = (
+        targets["inst_mask"].astype(jnp.float32)
+        * (src_idx >= 0).astype(jnp.float32)
+    )  # [B, M]
     b, q = outputs["pred_logits"].shape[:2]
 
     # classification: one-hot over queries from the assignment
@@ -116,7 +120,11 @@ def dec_losses(outputs, targets, src_idx, num_inst, cfg: CriterionConfig):
 
 
 def enc_losses(enc_outputs, targets, src_idx, num_inst, cfg: CriterionConfig):
-    mask = targets["inst_mask"].astype(jnp.float32)
+    # valid AND matched — see dec_losses
+    mask = (
+        targets["inst_mask"].astype(jnp.float32)
+        * (src_idx >= 0).astype(jnp.float32)
+    )
     b, s = enc_outputs["pred_logits"].shape[:2]
 
     oh = jax.nn.one_hot(jnp.clip(src_idx, 0), s) * mask[..., None]

@@ -113,6 +113,40 @@ def test_criterion_finite_and_masked():
     assert "loss_giou_enc" in losses
 
 
+def test_unmatched_valid_targets_contribute_nothing():
+    """With more valid instances than queries (the matcher's M > Q
+    orientation) surplus targets carry src_idx == -1; they must not leak
+    into any loss term (clipping them to query 0 would stack one-hot
+    targets there)."""
+    from tair_tpu.spotter.losses import dec_losses
+
+    rs = np.random.RandomState(11)
+    b, q, m, n_pts, n_chars, voc = 1, 2, 4, 4, 6, 96
+    outputs = {
+        "pred_logits": jnp.asarray(rs.randn(b, q, n_pts, 1), jnp.float32),
+        "pred_ctrl_points": jnp.asarray(rs.rand(b, q, n_pts, 2), jnp.float32),
+        "pred_texts": jnp.asarray(rs.randn(b, q, n_chars, voc + 1), jnp.float32),
+    }
+    targets = {
+        "inst_mask": jnp.asarray([[1, 1, 1, 0]], bool),  # 3 valid > 2 queries
+        "ctrl_points": jnp.asarray(rs.rand(b, m, n_pts, 2), jnp.float32),
+        "texts": jnp.asarray(rs.randint(0, voc, (b, m, n_chars)), jnp.int32),
+    }
+    src_idx = jnp.asarray([[0, 1, -1, -1]], jnp.int32)  # 3rd valid unmatched
+
+    targets_matched_only = dict(
+        targets, inst_mask=jnp.asarray([[1, 1, 0, 0]], bool)
+    )
+    cfg = CriterionConfig()
+    num_inst = jnp.float32(3.0)  # same normalizer for both
+    a = dec_losses(outputs, targets, src_idx, num_inst, cfg)
+    bb = dec_losses(outputs, targets_matched_only, src_idx, num_inst, cfg)
+    for k in a:
+        np.testing.assert_allclose(
+            float(a[k]), float(bb[k]), rtol=1e-6, err_msg=k
+        )
+
+
 def test_criterion_grads_flow_to_params():
     model = TESTR(TINY)
     feats = tiny_feats(jax.random.PRNGKey(0))
