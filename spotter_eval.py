@@ -3,9 +3,11 @@
 Counterpart of the reference's TESTR evaluation path
 (testr/adet/evaluation/text_evaluation.py + text_eval_script.py), driven the
 TAIR way: the spotter consumes UNet decoder features extracted from a single
-noised forward pass at a fixed timestep (exactly the training-time feature
-distribution, train.py:148-164), and predictions are scored with the
-ICDAR-style polygon-IoU detection / end-to-end F-measure.
+noised forward pass at a fixed timestep, with the ControlNet conditioned on
+a RealESRGAN-degraded LQ (exactly the training-time feature distribution,
+train.py:148-164; pass --no-degrade to condition on the clean image
+instead), and predictions are scored with the ICDAR-style polygon-IoU
+detection / end-to-end F-measure.
 
 Usage:
   python spotter_eval.py --config configs/train_smoke.yaml [--ckpt w.npz]
@@ -26,6 +28,11 @@ def main() -> None:
     parser.add_argument(
         "--lexicon", default=None,
         help="optional word-list file for lexicon-constrained decoding",
+    )
+    parser.add_argument(
+        "--no-degrade", action="store_true",
+        help="condition the ControlNet on the clean HQ image instead of the "
+             "training-time RealESRGAN-degraded LQ",
     )
     args = parser.parse_args()
 
@@ -65,29 +72,42 @@ def main() -> None:
     # into the executable as constants)
     @jax.jit
     def _spot(params, batch, rng):
+        k_vae, k_noise = jax.random.split(rng)
         clean = model.clean(params, batch["lq"])
-        z_0 = model.cldm.vae_encode(params, batch["gt"], rng=rng, sample=True)
+        z_0 = model.cldm.vae_encode(params, batch["gt"], rng=k_vae, sample=True)
         cond = dict(
             c_txt=model.cldm.clip_encode_tokens(params, batch["tokens"]),
             c_img=model.cldm.vae_encode(params, clean * 2 - 1, sample=False),
         )
         t = jnp.full((z_0.shape[0],), args.timestep, jnp.int32)
-        noise = jax.random.normal(rng, z_0.shape)
+        noise = jax.random.normal(k_noise, z_0.shape)
         z_t = diffusion.q_sample(z_0, t, noise)
         _, feats = model.cldm.apply(params, z_t, t, cond)
         out = model.spotter_apply(params, feats)
         return spotter_inference(out, args.score_threshold, image_size=size)
+
+    from tair_tpu.data.batch_transform import degrade_batch
+
+    degrade = jax.jit(
+        lambda r, hq, k1, k2, sk: degrade_batch(r, hq, k1, k2, sk, cfg.degradation)
+    )
+    deg_base = jax.random.PRNGKey(cfg.train.seed + 1)
 
     all_gts, all_preds = [], []
     n = min(args.num_images, len(ds))
     for i in range(0, n, 2):
         items = [ds[j] for j in range(i, min(i + 2, n))]
         raw = collate(items, max_inst=cfg.dataset.max_instances)
-        batch = {
-            "gt": jnp.asarray(raw["hq"]) * 2 - 1,
-            "lq": jnp.asarray(raw["hq"]),
-            "tokens": jnp.asarray(raw["tokens"]),
-        }
+        hq = jnp.asarray(raw["hq"])
+        if args.no_degrade:
+            gt, lq = hq * 2 - 1, hq
+        else:
+            gt, lq = degrade(
+                jax.random.fold_in(deg_base, i), hq,
+                jnp.asarray(raw["kernel1"]), jnp.asarray(raw["kernel2"]),
+                jnp.asarray(raw["sinc_kernel"]),
+            )
+        batch = {"gt": gt, "lq": lq, "tokens": jnp.asarray(raw["tokens"])}
         res = jax.device_get(_spot(params, batch, jax.random.PRNGKey(i)))
         for bi, item in enumerate(items):
             gts = [

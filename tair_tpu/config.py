@@ -66,6 +66,7 @@ class ValConfig:
     # checkpoints (docs/METRIC_WEIGHTS.md): "backbone_path:head_path"
     lpips_weights: Optional[str] = None  # alexnet.pth:lpips_alex.pth
     dists_weights: Optional[str] = None  # vgg16.pth:dists_weights.pt
+    clipiqa_weights: Optional[str] = None  # CLIP RN50 state dict (RN50.pt)
     # tiled (val_patches) settings
     patch_size: int = 128
     overlap: int = 16

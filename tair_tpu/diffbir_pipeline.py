@@ -77,6 +77,23 @@ class DiffBIRPipeline:
             c_txt=self.model.cldm.clip_encode_tokens(params, prompt_tokens),
             c_img=c_img,
         )
+        uncond = None
+        if cfg_scale != 1.0:
+            # classifier-free guidance: empty-prompt negative branch, same
+            # image condition (reference pipeline.py builds uncond the same
+            # way; without this the cfg_scale argument would be inert)
+            from .models.tokenizer import get_tokenizer
+
+            tok = get_tokenizer()
+            empty = (
+                jnp.zeros((b, 77), jnp.int32)
+                .at[:, 0].set(tok.sot_token)
+                .at[:, 1].set(tok.eot_token)
+            )
+            uncond = dict(
+                c_txt=self.model.cldm.clip_encode_tokens(params, empty),
+                c_img=c_img,
+            )
         hh, ww = x.shape[1] // 8, x.shape[2] // 8
         k_noise, k_chain = jax.random.split(rng)
         x_T = jax.random.normal(k_noise, (b, hh, ww, 4), jnp.float32)
@@ -112,7 +129,7 @@ class DiffBIRPipeline:
         sampler = self.model.sampler()
         z0, _ = sampler.sample(
             model_fn, steps=steps, x_T=x_T, cond=cond, rng=k_chain,
-            cfg_scale=cfg_scale,
+            uncond=uncond, cfg_scale=cfg_scale,
         )
         if guidance is not None:
             # apply guidance as a post-hoc latent pull toward the condition

@@ -10,7 +10,7 @@ one XLA program per (shape, steps) pair; the text-spotting feedback variant
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Optional, Tuple
 
@@ -34,6 +34,11 @@ class TeReDiff:
     swinir: SwinIR
     schedule: DiffusionSchedule
     testr: Optional[TESTR] = None
+    # per-instance cache of jitted step/spot/encode callables: defining fresh
+    # @jax.jit wrappers on every restore_with_ocr_feedback call would retrace
+    # (and without a persistent-cache hit, recompile) the full UNet+spotter
+    # graphs for every image in an eval directory
+    _jit_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     @classmethod
     def create(
@@ -187,22 +192,30 @@ class TeReDiff:
         )
 
         # params are jit ARGUMENTS, not closure captures (captured arrays
-        # are lowered as constants: ~7GB baked into each executable)
-        @jax.jit
-        def _step_fn(params, x, step_idx, cond, step_rng):
-            return sampler.p_sample(
-                partial(self.cldm.apply, params), sp, x, step_idx, cond,
-                None, 1.0, step_rng,
-            )
+        # are lowered as constants: ~7GB baked into each executable); the
+        # jitted callables are cached per (steps, threshold, size) so a
+        # directory-wide eval traces each graph once, not once per image
+        cache_key = ("ocr_feedback", steps, score_threshold, h, w)
+        if cache_key not in self._jit_cache:
 
-        @jax.jit
-        def _spot_fn(params, feats):
-            out = self.spotter_apply(params, feats)
-            return spotter_inference(out, score_threshold, image_size=h)
+            @jax.jit
+            def _step(params, x, step_idx, cond, step_rng):
+                return sampler.p_sample(
+                    partial(self.cldm.apply, params), sp, x, step_idx, cond,
+                    None, 1.0, step_rng,
+                )
 
-        @jax.jit
-        def _encode_fn(params, tokens):
-            return self.cldm.clip_encode_tokens(params, tokens)
+            @jax.jit
+            def _spot(params, feats):
+                out = self.spotter_apply(params, feats)
+                return spotter_inference(out, score_threshold, image_size=h)
+
+            @jax.jit
+            def _encode(params, tokens):
+                return self.cldm.clip_encode_tokens(params, tokens)
+
+            self._jit_cache[cache_key] = (_step, _spot, _encode)
+        _step_fn, _spot_fn, _encode_fn = self._jit_cache[cache_key]
 
         def step_fn(x, step_idx, cond, step_rng):
             return _step_fn(params, x, step_idx, cond, step_rng)

@@ -119,18 +119,25 @@ def restore_tiled(
     patches = split_with_overlap(image, patch, overlap)
     n = patches.shape[0]
     big = patch * out_scale
-    up = jax.image.resize(patches, (n, big, big, c), "cubic")
-    up = jnp.clip(up, 0.0, 1.0)
+
+    def _upscale(p):
+        u = jax.image.resize(p, (p.shape[0], big, big, c), "cubic")
+        return jnp.clip(u, 0.0, 1.0)
 
     if chunk is None or chunk == n:
-        restored = restore_batch_fn(up, rng)
+        restored = restore_batch_fn(_upscale(patches), rng)
     else:
+        # chunk at the SMALL patch size (upscale inside the loop): the x16
+        # upscaled buffer of a large image can run to GBs, so only `chunk`
+        # patches are ever held at the restore resolution
         pad = (-n) % chunk
-        up_p = jnp.pad(up, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        chunks = up_p.reshape(-1, chunk, big, big, c)
+        patches_p = jnp.pad(patches, ((0, pad), (0, 0), (0, 0), (0, 0)))
         outs = []
-        for i in range(chunks.shape[0]):
-            outs.append(restore_batch_fn(chunks[i], jax.random.fold_in(rng, i)))
+        for i in range(patches_p.shape[0] // chunk):
+            pc = patches_p[i * chunk : (i + 1) * chunk]
+            outs.append(
+                restore_batch_fn(_upscale(pc), jax.random.fold_in(rng, i))
+            )
         restored = jnp.concatenate(outs, 0)[:n]
 
     return merge_with_overlap(
@@ -177,7 +184,17 @@ def make_tiled_fn(
         b, h, w, c = x.shape
         if h <= size and w <= size:
             return fn(x, *extras)
-        hs, ws = starts(h), starts(w)
+        # one axis may still be smaller than the tile (e.g. 256x1024 input):
+        # edge-pad it up to the tile size so starts() stays non-negative and
+        # every tile is full-sized, then crop the canvas back at the end
+        ph, pw = max(size - h, 0), max(size - w, 0)
+        if ph or pw:
+            def _pad(a):
+                return jnp.pad(a, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+
+            x = _pad(x)
+            extras = tuple(_pad(e) for e in extras)
+        hs, ws = starts(h + ph), starts(w + pw)
         pos = [(i, j) for i in hs for j in ws]
 
         def grab(a):
@@ -191,8 +208,8 @@ def make_tiled_fn(
         tiles_out = tiles_out.reshape(n, b, size, size, co)
 
         win = jnp.asarray(win_np)[..., None]
-        canvas = jnp.zeros((b, h, w, co), jnp.float32)
-        weights = jnp.zeros((1, h, w, 1), jnp.float32)
+        canvas = jnp.zeros((b, h + ph, w + pw, co), jnp.float32)
+        weights = jnp.zeros((1, h + ph, w + pw, 1), jnp.float32)
         for k, (i, j) in enumerate(pos):
             canvas = canvas.at[:, i : i + size, j : j + size].add(
                 tiles_out[k].astype(jnp.float32) * win
@@ -200,6 +217,7 @@ def make_tiled_fn(
             weights = weights.at[:, i : i + size, j : j + size].add(win)
         # corner gaussian weights get as small as ~5e-9; keep the floor
         # well below them
-        return (canvas / jnp.maximum(weights, 1e-12)).astype(tiles_out.dtype)
+        out = (canvas / jnp.maximum(weights, 1e-12)).astype(tiles_out.dtype)
+        return out[:, :h, :w]
 
     return tiled

@@ -333,6 +333,86 @@ def convert_clip(sd: TorchDict, cfg, prefix: str = "") -> Tuple[Params, Reader]:
     return out, r
 
 
+def _bn(out: Params, dst: str, r: Reader, src: str) -> None:
+    """torch BatchNorm2d (inference) -> utils/clipiqa.BNInfer."""
+    _set(out, f"{dst}/scale", r(f"{src}.weight"))
+    _set(out, f"{dst}/bias", r(f"{src}.bias"))
+    _set(out, f"{dst}/mean", r(f"{src}.running_mean"))
+    _set(out, f"{dst}/var", r(f"{src}.running_var"))
+
+
+def convert_clip_rn50_visual(sd: TorchDict, cfg) -> Params:
+    """OpenAI CLIP ModifiedResNet image tower (`visual.*` keys of a CLIP
+    RN50 state dict) -> utils/clipiqa.ModifiedResNet params."""
+    r = Reader(sd, "visual.")
+    out: Params = {}
+    for i in (1, 2, 3):
+        _set(out, f"conv{i}/kernel", t_conv(r(f"conv{i}.weight")))
+        _bn(out, f"bn{i}", r, f"bn{i}")
+    for stage, n_blocks in enumerate(cfg.layers):
+        for blk in range(n_blocks):
+            src = f"layer{stage + 1}.{blk}"
+            dst = f"layer{stage + 1}_{blk}"
+            for i in (1, 2, 3):
+                _set(out, f"{dst}/conv{i}/kernel", t_conv(r(f"{src}.conv{i}.weight")))
+                _bn(out, f"{dst}/bn{i}", r, f"{src}.bn{i}")
+            if r.has(f"{src}.downsample.0.weight"):
+                _set(out, f"{dst}/down_conv/kernel",
+                     t_conv(r(f"{src}.downsample.0.weight")))
+                _bn(out, f"{dst}/down_bn", r, f"{src}.downsample.1")
+    ap = "attnpool"
+    _set(out, f"{ap}/positional_embedding", r(f"{ap}.positional_embedding"))
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        _lin(out, f"{ap}/{p}", r, f"{ap}.{p}")
+    return out
+
+
+def convert_retinaface(sd: TorchDict) -> Params:
+    """facexlib/biubug6 RetinaFace-ResNet50 (`detection_Resnet50_Final.pth`,
+    `module.` prefix already stripped) -> utils/retinaface.RetinaFace params.
+    torch Sequential(conv, bn, leaky) packs as `<name>.0` / `<name>.1`."""
+    r = Reader(sd, "")
+    out: Params = {}
+
+    def conv_bn(dst, src):
+        _set(out, f"{dst}/conv/kernel", t_conv(r(f"{src}.0.weight")))
+        _bn(out, f"{dst}/bn", r, f"{src}.1")
+
+    # torchvision resnet50 body
+    _set(out, "body/conv1/kernel", t_conv(r("body.conv1.weight")))
+    _bn(out, "body/bn1", r, "body.bn1")
+    for stage, n_blocks in enumerate((3, 4, 6, 3)):
+        for blk in range(n_blocks):
+            src = f"body.layer{stage + 1}.{blk}"
+            dst = f"body/layer{stage + 1}_{blk}"
+            for i in (1, 2, 3):
+                _set(out, f"{dst}/conv{i}/kernel", t_conv(r(f"{src}.conv{i}.weight")))
+                _bn(out, f"{dst}/bn{i}", r, f"{src}.bn{i}")
+            if r.has(f"{src}.downsample.0.weight"):
+                _set(out, f"{dst}/down_conv/kernel",
+                     t_conv(r(f"{src}.downsample.0.weight")))
+                _bn(out, f"{dst}/down_bn", r, f"{src}.downsample.1")
+
+    for i in (1, 2, 3):
+        conv_bn(f"fpn_output{i}", f"fpn.output{i}")
+    conv_bn("fpn_merge1", "fpn.merge1")
+    conv_bn("fpn_merge2", "fpn.merge2")
+    for i in (1, 2, 3):
+        conv_bn(f"ssh{i}/conv3x3", f"ssh{i}.conv3X3")
+        conv_bn(f"ssh{i}/conv5x5_1", f"ssh{i}.conv5X5_1")
+        conv_bn(f"ssh{i}/conv5x5_2", f"ssh{i}.conv5X5_2")
+        conv_bn(f"ssh{i}/conv7x7_2", f"ssh{i}.conv7X7_2")
+        conv_bn(f"ssh{i}/conv7x7_3", f"ssh{i}.conv7x7_3")
+    for i in range(3):
+        for torch_head, dst in (("ClassHead", "class_head"),
+                                ("BboxHead", "bbox_head"),
+                                ("LandmarkHead", "ldm_head")):
+            src = f"{torch_head}.{i}.conv1x1"
+            _set(out, f"{dst}{i}/kernel", t_conv(r(f"{src}.weight")))
+            _set(out, f"{dst}{i}/bias", r(f"{src}.bias"))
+    return out
+
+
 # --------------------------------------------------------------------------
 # SwinIR
 # --------------------------------------------------------------------------

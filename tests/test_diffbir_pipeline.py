@@ -70,6 +70,32 @@ def test_tiled_run_matches_shapes_and_blends():
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+def test_diffbir_cfg_scale_is_live():
+    """cfg_scale must change the output (it builds an empty-prompt uncond
+    branch); a silently inert cfg_scale was a round-2 review finding."""
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    # break the SD zero-inits (SpatialTransformer proj_out etc.): at random
+    # init the cross-attn residual is exactly 0, so the text condition — and
+    # therefore CFG — cannot influence the output of an untrained model
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [
+        p + 0.02 * jax.random.normal(k, p.shape, p.dtype) if p.ndim else p
+        for p, k in zip(leaves, keys)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
+    pipe = DiffBIRPipeline(model)
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    toks = jnp.asarray(tokenize(["a street sign"]))
+    out1 = pipe.run(params, lq, toks, jax.random.PRNGKey(2), steps=2,
+                    color_fix=False)
+    out3 = pipe.run(params, lq, toks, jax.random.PRNGKey(2), steps=2,
+                    cfg_scale=3.0, color_fix=False)
+    assert np.isfinite(np.asarray(out3)).all()
+    assert float(jnp.abs(out1 - out3).max()) > 1e-6
+
+
 def test_make_tiled_fn_identity_blend():
     """Blending tiles of the identity function must reproduce the input."""
     import jax.numpy as jnp
@@ -83,3 +109,10 @@ def test_make_tiled_fn_identity_blend():
     # small inputs bypass tiling entirely
     small = x[:, :12, :12]
     np.testing.assert_allclose(np.asarray(f(small)), np.asarray(small), atol=1e-7)
+    # ONE axis smaller than the tile (e.g. a 256x1024 panorama's latent):
+    # the short axis is edge-padded to the tile size and cropped back —
+    # previously starts() went negative and the reshape crashed
+    narrow = x[:, :12, :, :]
+    np.testing.assert_allclose(np.asarray(f(narrow)), np.asarray(narrow), atol=1e-5)
+    tall = x[:, :, :12, :]
+    np.testing.assert_allclose(np.asarray(f(tall)), np.asarray(tall), atol=1e-5)

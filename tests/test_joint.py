@@ -78,6 +78,14 @@ def test_ocr_feedback_restore():
     assert info["pred_polys"].shape[-2:] == (16, 2)
     # with threshold 0 every proposal is kept -> prompts non-trivial
     assert len(info["pred_texts"]) == 10
+    # jitted step/spot/encode callables are cached on the instance: a second
+    # call with the same (steps, threshold, size) must NOT define fresh jit
+    # wrappers (fresh wrappers retrace the full graph per image)
+    assert len(model._jit_cache) == 1
+    model.restore_with_ocr_feedback(
+        params, lq, jax.random.PRNGKey(3), steps=3, score_threshold=0.0
+    )
+    assert len(model._jit_cache) == 1
 
 
 def test_fused_feedback_restore():

@@ -107,10 +107,14 @@ def main() -> None:
         process_count=jax.process_count(),
     )
 
-    rng = jax.random.PRNGKey(tc.seed)
+    # independent RNG streams: the train step folds state.step into its key
+    # (train/step.py), so the degradation stream must NOT reuse the base key
+    # with the same fold_in(step) or the first split keys coincide (the
+    # resize/method draws would be bit-identical to k_vae/k_t/k_p every step)
+    deg_base, step_base = jax.random.split(jax.random.PRNGKey(tc.seed))
     with mesh:
         state = replicate(mesh, state)
-        rng_dev = replicate(mesh, rng)
+        rng_dev = replicate(mesh, step_base)
         t_last = time.time()
         loss_acc = []
 
@@ -128,7 +132,7 @@ def main() -> None:
                 "ctrl_points": jnp.asarray(raw["ctrl_points"]),
                 "texts": jnp.asarray(raw["texts"]),
             })
-            deg_rng = jax.random.fold_in(rng, global_step)
+            deg_rng = jax.random.fold_in(deg_base, global_step)
             gt, lq = degrade(
                 deg_rng, host_batch["hq"], host_batch["kernel1"],
                 host_batch["kernel2"], host_batch["sinc_kernel"],
@@ -180,6 +184,21 @@ def main() -> None:
         print("training done")
 
 
+def _local_rows(x, n):
+    """First n rows of the process-local portion of a (possibly) globally
+    sharded array. jax.device_get on a mesh-sharded batch raises on
+    multi-host runs ('spans non-addressable devices'); validation only needs
+    a few sample rows, so gather the addressable shards instead."""
+    import numpy as np
+
+    parts = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        parts.setdefault(start, np.asarray(s.data))
+    rows = np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+    return rows[:n]
+
+
 def run_validation(
     model, params, cfg, gt, lq, tokens, n_images=2, steps=10,
     feat_iterations=(), targets=None, image_dir=None,
@@ -194,12 +213,13 @@ def run_validation(
     from tair_tpu.spotter.losses import CriterionConfig, set_criterion
     from tair_tpu.utils.metrics import psnr, ssim
 
-    n = min(n_images, lq.shape[0])
-    lq_n = jnp.asarray(jax.device_get(lq)[:n])
-    gt_n = jnp.asarray(jax.device_get(gt)[:n])
+    lq_h = _local_rows(lq, n_images)
+    n = lq_h.shape[0]
+    lq_n = jnp.asarray(lq_h)
+    gt_n = jnp.asarray(_local_rows(gt, n))
     tags = tuple(t for t in feat_iterations if t <= steps) if targets else ()
     restored, _, feats = model.restore(
-        params, lq_n, tokens[:n], jax.random.PRNGKey(0),
+        params, lq_n, jnp.asarray(_local_rows(tokens, n)), jax.random.PRNGKey(0),
         steps=steps, feat_iterations=tags,
     )
     gt01 = (gt_n + 1.0) / 2.0
@@ -227,7 +247,7 @@ def run_validation(
                     (np.clip(panel[bi], 0, 1) * 255).astype(np.uint8)
                 ).save(os.path.join(image_dir, f"val_{bi}.png"))
     if tags and model.testr is not None:
-        tgt = {k: jnp.asarray(jax.device_get(v)[:n]) for k, v in targets.items()}
+        tgt = {k: jnp.asarray(_local_rows(v, n)) for k, v in targets.items()}
         for ti, tag in enumerate(sorted(tags)):
             out = model.spotter_apply(params, tuple(f[ti] for f in feats))
             losses = set_criterion(out, tgt, CriterionConfig())

@@ -15,6 +15,17 @@ import argparse
 import os
 
 
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def list_images(directory: str) -> list[str]:
+    """Image files only, sorted (the reference filters extensions too,
+    val.py:90 — a stray README/.DS_Store must not abort the eval)."""
+    return sorted(
+        n for n in os.listdir(directory) if n.lower().endswith(IMG_EXTS)
+    )
+
+
 def load_image(path: str, size: int | None = None):
     import numpy as np
     from PIL import Image
@@ -75,7 +86,7 @@ def main() -> None:
 
     # perceptual metrics unlock with external checkpoints
     # (docs/METRIC_WEIGHTS.md); "backbone.pth:head.pth" per config field
-    lpips_metric = dists_metric = None
+    lpips_metric = dists_metric = clipiqa_metric = None
     if vc.lpips_weights:
         from tair_tpu.utils.lpips import LPIPSMetric
 
@@ -84,6 +95,10 @@ def main() -> None:
         from tair_tpu.utils.dists import DISTSMetric
 
         dists_metric = DISTSMetric.from_torch(*vc.dists_weights.split(":"))
+    if vc.clipiqa_weights:
+        from tair_tpu.utils.clipiqa import CLIPIQAMetric
+
+        clipiqa_metric = CLIPIQAMetric.from_torch(vc.clipiqa_weights)
 
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -93,7 +108,23 @@ def main() -> None:
         params = load_params(args.ckpt, params)
         print(f"loaded weights from {args.ckpt}")
 
-    names = sorted(os.listdir(vc.lq_dir))
+    niqe_params = None
+    if vc.niqe_params:
+        from tair_tpu.utils.niqe import NIQEParams, niqe
+
+        niqe_params = NIQEParams.load(vc.niqe_params)
+
+    fused_fn = None
+    if args.fused:
+        from functools import partial as _partial
+
+        # jit once outside the loop: every image shares the compiled program
+        fused_fn = jax.jit(_partial(
+            model.restore_fused_feedback, steps=steps,
+            score_threshold=vc.score_threshold,
+        ))
+
+    names = list_images(vc.lq_dir)
     for i, name in enumerate(names):
         lq = load_image(os.path.join(vc.lq_dir, name), args.image_size)
         lq_b = jnp.asarray(lq)[None]
@@ -101,10 +132,7 @@ def main() -> None:
         if args.fused:
             from tair_tpu.models.tokenizer import get_tokenizer
 
-            restored, tokens = model.restore_fused_feedback(
-                params, lq_b, rng, steps=steps,
-                score_threshold=vc.score_threshold,
-            )
+            restored, tokens = fused_fn(params, lq_b, rng)
             tok = get_tokenizer()
             ids = [int(t) for t in np.asarray(tokens[0])
                    if t not in (0, tok.sot_token, tok.eot_token)]
@@ -127,10 +155,12 @@ def main() -> None:
         save_image(os.path.join(vc.output_dir, f"pred_texts_{stem}.png"), overlay)
 
         metrics = {"image": name, "pred_texts": final["pred_texts"]}
-        if vc.niqe_params:
-            from tair_tpu.utils.niqe import NIQEParams, niqe
-
-            metrics["niqe"] = niqe(restored, NIQEParams.load(vc.niqe_params))
+        if niqe_params is not None:
+            metrics["niqe"] = niqe(restored, niqe_params)
+        if clipiqa_metric is not None:  # no-reference, needs no GT
+            metrics["clipiqa"] = float(
+                clipiqa_metric(jnp.asarray(restored)[None])[0]
+            )
         if vc.gt_dir:
             gt = load_image(os.path.join(vc.gt_dir, name), args.image_size)
             metrics["psnr"] = float(psnr(jnp.asarray(restored)[None],

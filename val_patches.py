@@ -37,7 +37,7 @@ def main() -> None:
     from tair_tpu.tiling import restore_tiled
     from tair_tpu.utils.logging import MetricLogger
     from tair_tpu.utils.metrics import psnr, ssim
-    from val import load_image, save_image
+    from val import list_images, load_image, save_image
 
     cfg = load_config(args.config)
     vc = cfg.val
@@ -94,7 +94,7 @@ def main() -> None:
     def restore_batch(lq_batch, rng):
         return _restore_batch(params, lq_batch, rng)
 
-    names = sorted(os.listdir(vc.lq_dir))
+    names = list_images(vc.lq_dir)
     for i, name in enumerate(names):
         lq = load_image(os.path.join(vc.lq_dir, name))
         from tair_tpu.tiling import split_grid
