@@ -67,6 +67,7 @@ class ValConfig:
     lpips_weights: Optional[str] = None  # alexnet.pth:lpips_alex.pth
     dists_weights: Optional[str] = None  # vgg16.pth:dists_weights.pt
     clipiqa_weights: Optional[str] = None  # CLIP RN50 state dict (RN50.pt)
+    maniqa_weights: Optional[str] = None  # MANIQA ckpt (ckpt_koniq10k.pt)
     # tiled (val_patches) settings
     patch_size: int = 128
     overlap: int = 16

@@ -2,12 +2,14 @@
 
 Counterpart of /root/reference/terediff/utils/face.py:49-516
 (FaceRestoreHelper). The reference wraps facexlib's retinaface detector +
-cv2 warps; neither ships detector checkpoints in this environment, so the
-TPU build keeps the *geometry* — 5-point similarity alignment to the
-standard FFHQ template (umeyama least-squares, the clean-input equivalent
-of cv2.estimateAffinePartial2D(LMEDS), face.py:321), bilinear warps via
-`jax.scipy.ndimage.map_coordinates`, and soft-mask paste-back
-(face.py:364-466) — behind a pluggable landmark-detector callable.
+cv2 warps; this build keeps the *geometry* — 5-point similarity alignment
+to the standard FFHQ template (umeyama least-squares, the clean-input
+equivalent of cv2.estimateAffinePartial2D(LMEDS), face.py:321), bilinear
+warps via `jax.scipy.ndimage.map_coordinates`, and soft-mask paste-back
+(face.py:364-466) — behind a pluggable landmark-detector callable. The
+matching detector lives in `tair_tpu.utils.retinaface`
+(`RetinaFaceDetector.from_torch(path).as_landmark_detector()`); only its
+checkpoint (`detection_Resnet50_Final.pth`) is external.
 """
 
 from __future__ import annotations

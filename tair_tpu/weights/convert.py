@@ -413,6 +413,58 @@ def convert_retinaface(sd: TorchDict) -> Params:
     return out
 
 
+def convert_maniqa(sd: TorchDict, cfg) -> Params:
+    """IIGROUP/MANIQA checkpoint (timm ViT-B/8 backbone + TAB/swin stages)
+    -> utils/maniqa.MANIQA params. Key layout reconstructed from the
+    official repo (see utils/maniqa.py docstring on validation status)."""
+    r = Reader(sd, "")
+    out: Params = {}
+
+    _set(out, "vit/patch_embed/kernel", t_conv(r("vit.patch_embed.proj.weight")))
+    _set(out, "vit/patch_embed/bias", r("vit.patch_embed.proj.bias"))
+    _set(out, "vit/cls_token", r("vit.cls_token").reshape(1, 1, -1))
+    _set(out, "vit/pos_embed", r("vit.pos_embed"))
+    for i in range(cfg.vit.depth):
+        src = f"vit.blocks.{i}"
+        dst = f"vit/block_{i}"
+        _norm(out, f"{dst}/norm1", r, f"{src}.norm1")
+        _lin(out, f"{dst}/qkv", r, f"{src}.attn.qkv")
+        _lin(out, f"{dst}/proj", r, f"{src}.attn.proj")
+        _norm(out, f"{dst}/norm2", r, f"{src}.norm2")
+        _lin(out, f"{dst}/fc1", r, f"{src}.mlp.fc1")
+        _lin(out, f"{dst}/fc2", r, f"{src}.mlp.fc2")
+
+    def tab(dst_prefix, src_prefix):
+        for i in range(cfg.num_tab):
+            for p in ("c_q", "c_k", "c_v"):
+                _lin(out, f"{dst_prefix}_{i}/{p}", r, f"{src_prefix}.{i}.{p}")
+
+    def swin(dst_prefix, src_prefix):
+        for i in range(len(cfg.depths)):
+            for j in range(cfg.depths[i]):
+                src = f"{src_prefix}.layers.{i}.blocks.{j}"
+                dst = f"{dst_prefix}_{i}/block_{j}"
+                _norm(out, f"{dst}/norm1", r, f"{src}.norm1")
+                _lin(out, f"{dst}/attn/qkv", r, f"{src}.attn.qkv")
+                _lin(out, f"{dst}/attn/proj", r, f"{src}.attn.proj")
+                _set(out, f"{dst}/attn/relative_position_bias_table",
+                     r(f"{src}.attn.relative_position_bias_table"))
+                _norm(out, f"{dst}/norm2", r, f"{src}.norm2")
+                _lin(out, f"{dst}/fc1", r, f"{src}.mlp.fc1")
+                _lin(out, f"{dst}/fc2", r, f"{src}.mlp.fc2")
+
+    tab("tablock1", "tablock1")
+    _conv(out, "conv1", r, "conv1")
+    swin("swin1", "swintransformer1")
+    tab("tablock2", "tablock2")
+    _conv(out, "conv2", r, "conv2")
+    swin("swin2", "swintransformer2")
+    for head in ("fc_score", "fc_weight"):
+        _lin(out, f"{head}_0", r, f"{head}.0")
+        _lin(out, f"{head}_3", r, f"{head}.3")
+    return out
+
+
 # --------------------------------------------------------------------------
 # SwinIR
 # --------------------------------------------------------------------------

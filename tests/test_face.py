@@ -73,3 +73,31 @@ def test_detector_required_error():
     helper = FaceRestoreHelper()
     with pytest.raises(RuntimeError):
         helper.detect_faces(np.zeros((8, 8, 3), np.float32))
+
+
+def test_retinaface_detector_wires_into_helper():
+    """End-to-end detect -> align -> restore -> paste-back with the in-repo
+    RetinaFace detector (random weights; conf threshold 0 forces detections
+    so the full contract — [K,15] rows -> [5,2] landmarks -> warps — runs)."""
+    import jax
+
+    from tair_tpu.utils.retinaface import RetinaFace, RetinaFaceDetector
+
+    params = RetinaFace().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )["params"]
+    det = RetinaFaceDetector(params)
+    img = np.random.RandomState(1).rand(64, 64, 3).astype(np.float32)
+    rows = det.detect(img, conf_threshold=0.0, nms_threshold=0.4)
+    assert rows.shape[1] == 15 and len(rows) >= 1
+
+    helper = FaceRestoreHelper(
+        face_size=32, detector=det.as_landmark_detector(conf_threshold=0.0)
+    )
+    n = helper.detect_faces(img)
+    assert n == len(rows)
+    crops = helper.align_warp_faces(jnp.asarray(img))
+    assert crops[0].shape == (32, 32, 3)
+    helper.restored_faces = [c for c in crops]
+    out = np.asarray(helper.paste_faces_to_input_image(jnp.asarray(img)))
+    assert out.shape == (64, 64, 3) and np.isfinite(out).all()

@@ -99,6 +99,11 @@ def main() -> None:
         from tair_tpu.utils.clipiqa import CLIPIQAMetric
 
         clipiqa_metric = CLIPIQAMetric.from_torch(vc.clipiqa_weights)
+    maniqa_metric = None
+    if vc.maniqa_weights:
+        from tair_tpu.utils.maniqa import MANIQAMetric
+
+        maniqa_metric = MANIQAMetric.from_torch(vc.maniqa_weights)
 
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -160,6 +165,10 @@ def main() -> None:
         if clipiqa_metric is not None:  # no-reference, needs no GT
             metrics["clipiqa"] = float(
                 clipiqa_metric(jnp.asarray(restored)[None])[0]
+            )
+        if maniqa_metric is not None:  # no-reference, needs no GT
+            metrics["maniqa"] = float(
+                maniqa_metric(jnp.asarray(restored)[None])[0]
             )
         if vc.gt_dir:
             gt = load_image(os.path.join(vc.gt_dir, name), args.image_size)
