@@ -34,6 +34,38 @@ class DiffBIRPipeline:
             return jnp.clip(self.cleaner_apply(params, lq), 0.0, 1.0)
         return self.model.clean(params, lq)
 
+    def _make_sampler(self, sampler_type: str, rescale_cfg: bool):
+        """Sampler dispatch (reference pipeline.py:178-200): spaced | ddim |
+        dpm_solver_{1,2,3} (++ multistep) | edm_<solver> (euler / heun /
+        dpmpp_2m / euler_ancestral / dpmpp_2m_sde)."""
+        betas = self.model.schedule.betas
+        if sampler_type == "spaced":
+            return self.model.sampler(rescale_cfg=rescale_cfg)
+        if sampler_type == "ddim":
+            from .sampler.ddim import DDIMSampler
+
+            return DDIMSampler(
+                training_betas=betas, parameterization="v",
+                rescale_cfg=rescale_cfg, eta=0.0,
+            )
+        if sampler_type.startswith("dpm"):
+            from .sampler.dpm import DPMSolverPP
+
+            order = int(sampler_type[-1]) if sampler_type[-1].isdigit() else 2
+            return DPMSolverPP(
+                training_betas=betas, parameterization="v",
+                rescale_cfg=rescale_cfg, order=order,
+            )
+        if sampler_type.startswith("edm"):
+            from .sampler.edm import EDMSampler
+
+            solver = sampler_type.removeprefix("edm").lstrip("_") or "dpmpp_2m"
+            return EDMSampler(
+                training_betas=betas, parameterization="v",
+                rescale_cfg=rescale_cfg, solver=solver,
+            )
+        raise NotImplementedError(sampler_type)
+
     def run(
         self,
         params: Params,
@@ -47,6 +79,10 @@ class DiffBIRPipeline:
         tiled: bool = False,
         tile_size: int = 512,
         tile_stride: int = 256,
+        sampler_type: str = "spaced",
+        rescale_cfg: bool = False,
+        strength: float = 1.0,
+        noise_aug: int = 0,
     ) -> jnp.ndarray:
         """Full restoration; pads H/W to a multiple of 64 (the diffusion
         stride) with reflect padding and crops back (pipeline.py padding
@@ -55,7 +91,12 @@ class DiffBIRPipeline:
         tiled=True runs DiffBIR's tiled mode at inputs larger than
         tile_size: gaussian-blended tiled LATENT sampling (make_tiled_fn
         semantics, pipeline.py:202-225 + ddim_sampler.py:165-180) and the
-        seam-free tiled VAE for encode/decode."""
+        seam-free tiled VAE for encode/decode.
+
+        Reference inference knobs (pipeline.py:160-200): `sampler_type`
+        picks the sampler family, `strength` scales the 13 ControlNet
+        residuals, `noise_aug` q-samples the image condition to timestep
+        noise_aug before sampling."""
         b, h, w, _ = lq.shape
         ph, pw = (-h) % 64, (-w) % 64
         x = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
@@ -72,6 +113,16 @@ class DiffBIRPipeline:
         else:
             c_img = self.model.cldm.vae_encode(
                 params, clean * 2.0 - 1.0, sample=False
+            )
+        if noise_aug > 0:
+            # condition noise augmentation (reference pipeline.py:160-167)
+            from .diffusion.diffusion import Diffusion
+
+            k_aug, rng = jax.random.split(rng)
+            c_img = Diffusion(schedule=self.model.schedule).q_sample(
+                c_img,
+                jnp.full((b,), noise_aug, jnp.int32),
+                jax.random.normal(k_aug, c_img.shape, jnp.float32),
             )
         cond = dict(
             c_txt=self.model.cldm.clip_encode_tokens(params, prompt_tokens),
@@ -98,6 +149,16 @@ class DiffBIRPipeline:
         k_noise, k_chain = jax.random.split(rng)
         x_T = jax.random.normal(k_noise, (b, hh, ww, 4), jnp.float32)
 
+        # control strength: scale the 13 ControlNet residuals
+        # (reference pipeline.py:173-175)
+        cldm = self.model.cldm
+        if strength != 1.0:
+            import dataclasses
+
+            cldm = dataclasses.replace(
+                cldm, control_scales=(float(strength),) * 13
+            )
+
         if use_tiles:
             # tiled latent diffusion: each model evaluation runs per latent
             # tile (with the matching c_img tile) and blends with gaussian
@@ -108,7 +169,7 @@ class DiffBIRPipeline:
                 n = z_tile.shape[0]
                 reps = n // b
                 ctx = jnp.tile(c_txt, (reps, 1, 1))
-                eps, _ = self.model.cldm.apply(
+                eps, _ = cldm.apply(
                     params, z_tile, jnp.tile(t, (reps,)),
                     dict(c_txt=ctx, c_img=ci_tile),
                 )
@@ -125,12 +186,14 @@ class DiffBIRPipeline:
                 )
                 return tiled_eps(z, cond_in["c_img"]), ()
         else:
-            model_fn = partial(self.model.cldm.apply, params)
-        sampler = self.model.sampler()
-        z0, _ = sampler.sample(
+            model_fn = partial(cldm.apply, params)
+        sampler = self._make_sampler(sampler_type, rescale_cfg)
+        out = sampler.sample(
             model_fn, steps=steps, x_T=x_T, cond=cond, rng=k_chain,
             uncond=uncond, cfg_scale=cfg_scale,
         )
+        # SpacedSampler returns (x, feature_buffers); the others return x
+        z0 = out[0] if isinstance(out, tuple) else out
         if guidance is not None:
             # apply guidance as a post-hoc latent pull toward the condition
             z0 = guidance(z0, cond["c_img"], jnp.zeros((b,), jnp.int32))

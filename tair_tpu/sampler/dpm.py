@@ -31,6 +31,10 @@ class DPMSolverPP(SamplerBase):
 
     def _schedule(self, steps: int):
         ac = np.cumprod(1.0 - self.training_betas)
+        # zero-terminal-SNR schedules (the TAIR production schedule) end at
+        # alpha_bar = 0 exactly; clamp before the logs or lambda(T) = -inf
+        # poisons the first solver step with NaNs
+        ac = np.clip(ac, 1e-10, 1.0)
         log_alpha = 0.5 * np.log(ac)  # discrete log alpha_t
         t_grid = np.linspace(1e-3, 1.0, len(ac))
         # continuous interpolation of lambda(t) = log_alpha - log_sigma

@@ -43,7 +43,8 @@ class EDMSampler(SamplerBase):
 
     def _vp_tables(self):
         ac = np.cumprod(1.0 - self.training_betas)
-        sigmas_vp = np.sqrt((1 - ac) / ac)  # karras sigma per trained t
+        # clamp for zero-terminal-SNR schedules (alpha_bar(T) = 0 -> inf)
+        sigmas_vp = np.sqrt((1 - ac) / np.clip(ac, 1e-10, 1.0))
         return jnp.asarray(sigmas_vp, jnp.float32)
 
     def _denoiser(self, model_fn, cond, uncond, cfg_scale, sigmas_vp):

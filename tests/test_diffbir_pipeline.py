@@ -70,21 +70,24 @@ def test_tiled_run_matches_shapes_and_blends():
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
-def test_diffbir_cfg_scale_is_live():
-    """cfg_scale must change the output (it builds an empty-prompt uncond
-    branch); a silently inert cfg_scale was a round-2 review finding."""
-    model = build_tiny_model()
-    params = model.init(jax.random.PRNGKey(0))
-    # break the SD zero-inits (SpatialTransformer proj_out etc.): at random
-    # init the cross-attn residual is exactly 0, so the text condition — and
-    # therefore CFG — cannot influence the output of an untrained model
+def _perturb(params):
+    """Break the SD zero-inits (SpatialTransformer proj_out, ControlNet zero
+    convs): at random init those residuals are exactly 0, so text/control
+    conditions cannot influence the output of an untrained model."""
     leaves, treedef = jax.tree.flatten(params)
     keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
     leaves = [
         p + 0.02 * jax.random.normal(k, p.shape, p.dtype) if p.ndim else p
         for p, k in zip(leaves, keys)
     ]
-    params = jax.tree.unflatten(treedef, leaves)
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def test_diffbir_cfg_scale_is_live():
+    """cfg_scale must change the output (it builds an empty-prompt uncond
+    branch); a silently inert cfg_scale was a round-2 review finding."""
+    model = build_tiny_model()
+    params = _perturb(model.init(jax.random.PRNGKey(0)))
     pipe = DiffBIRPipeline(model)
     lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
     toks = jnp.asarray(tokenize(["a street sign"]))
@@ -94,6 +97,34 @@ def test_diffbir_cfg_scale_is_live():
                     cfg_scale=3.0, color_fix=False)
     assert np.isfinite(np.asarray(out3)).all()
     assert float(jnp.abs(out1 - out3).max()) > 1e-6
+
+
+def test_diffbir_sampler_types_and_knobs():
+    """The reference pipeline's inference knobs (pipeline.py:160-200):
+    sampler_type dispatch, ControlNet strength, condition noise_aug."""
+    model = build_tiny_model()
+    params = _perturb(model.init(jax.random.PRNGKey(0)))
+    pipe = DiffBIRPipeline(model)
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    toks = jnp.asarray(tokenize(["x"]))
+
+    outs = {}
+    for st in ("spaced", "ddim", "dpm_solver_2", "edm_euler"):
+        out = pipe.run(params, lq, toks, jax.random.PRNGKey(2), steps=2,
+                       sampler_type=st, color_fix=False)
+        assert out.shape == (1, 64, 64, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        outs[st] = np.asarray(out)
+    # different solvers integrate differently -> different outputs
+    assert np.abs(outs["spaced"] - outs["ddim"]).max() > 1e-6
+
+    base = outs["spaced"]
+    strong = pipe.run(params, lq, toks, jax.random.PRNGKey(2), steps=2,
+                      strength=0.0, color_fix=False)
+    assert np.abs(np.asarray(strong) - base).max() > 1e-6  # control off
+    aug = pipe.run(params, lq, toks, jax.random.PRNGKey(2), steps=2,
+                   noise_aug=200, color_fix=False)
+    assert np.abs(np.asarray(aug) - base).max() > 1e-6
 
 
 def test_make_tiled_fn_identity_blend():

@@ -56,6 +56,23 @@ def test_dpmpp_orders_recover_delta(order):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-2)
 
 
+@pytest.mark.parametrize("kind", ["dpm", "edm"])
+def test_solvers_finite_on_zero_snr_schedule(kind):
+    """The TAIR production schedule is zero-terminal-SNR (alpha_bar(T) = 0):
+    DPM's lambda(T) = log(alpha/sigma) hit log(0) = -inf and NaN'd the first
+    step; EDM's karras sigma table hit inf. Both must stay finite AND still
+    recover the delta oracle."""
+    sched, x0, model_fn = setup_oracle(zero_snr=True)
+    if kind == "dpm":
+        s = DPMSolverPP(training_betas=sched.betas, parameterization="v")
+    else:
+        s = EDMSampler(training_betas=sched.betas, parameterization="v")
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    x = s.sample(model_fn, 15, x_T, None, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(x)).all()
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=8e-2)
+
+
 def test_dpmpp_higher_order_converges_faster():
     """With few steps the order-3 solver should land nearer the truth than
     order 1 (the point of the higher-order update)."""
