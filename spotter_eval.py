@@ -134,7 +134,11 @@ def main() -> None:
             all_preds.append(preds)
 
     scores = evaluate_dataset(all_gts, all_preds)
-    print({k: round(v, 4) if isinstance(v, float) else v for k, v in scores.items()})
+    import json
+
+    print(json.dumps(
+        {k: round(v, 4) if isinstance(v, float) else v for k, v in scores.items()}
+    ))
 
 
 if __name__ == "__main__":

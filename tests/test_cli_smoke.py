@@ -49,6 +49,20 @@ def test_val_cli_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_spotter_eval_cli_smoke():
+    """Spotting-only eval end to end on the synthetic dataset: degradation
+    conditioning, fixed-timestep feature tap, ICDAR scoring, JSON output."""
+    r = _run([
+        "spotter_eval.py", "--config", "configs/train_smoke.yaml",
+        "--num-images", "2", "--score-threshold", "0.0",
+    ])
+    assert r.returncode == 0, r.stdout + r.stderr
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    scores = json.loads(line)
+    assert "det_hmean" in scores and "e2e_hmean" in scores
+
+
+@pytest.mark.slow
 def test_val_patches_cli_smoke(tmp_path):
     out_dir = tmp_path / "patches_out"
     cfg = tmp_path / "cfg.yaml"
