@@ -133,16 +133,12 @@ class DiffBIRPipeline:
             # classifier-free guidance: empty-prompt negative branch, same
             # image condition (reference pipeline.py builds uncond the same
             # way; without this the cfg_scale argument would be inert)
-            from .models.tokenizer import get_tokenizer
+            from .models.tokenizer import empty_tokens
 
-            tok = get_tokenizer()
-            empty = (
-                jnp.zeros((b, 77), jnp.int32)
-                .at[:, 0].set(tok.sot_token)
-                .at[:, 1].set(tok.eot_token)
-            )
             uncond = dict(
-                c_txt=self.model.cldm.clip_encode_tokens(params, empty),
+                c_txt=self.model.cldm.clip_encode_tokens(
+                    params, jnp.asarray(empty_tokens(b))
+                ),
                 c_img=c_img,
             )
         hh, ww = x.shape[1] // 8, x.shape[2] // 8

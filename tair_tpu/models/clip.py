@@ -34,6 +34,16 @@ class CLIPTextConfig:
     mlp_ratio: int = 4
     # "penultimate" runs layers-1 blocks; "last" runs all of them.
     layer: str = "penultimate"
+    # OpenCLIP (the SD-2.1 tower) uses exact GELU; ORIGINAL OpenAI CLIP
+    # checkpoints (RN50 etc., the CLIP-IQA backbone) were trained with
+    # QuickGELU: x * sigmoid(1.702 x).
+    act: str = "gelu"
+
+
+def _act(name: str, x):
+    if name == "quick_gelu":
+        return x * nn.sigmoid(1.702 * x)
+    return nn.gelu(x, approximate=False)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -41,10 +51,11 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     mlp_ratio: int
     dtype: Dtype = jnp.float32
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_1")(x)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             dtype=self.dtype,
@@ -52,11 +63,11 @@ class ResidualAttentionBlock(nn.Module):
             name="attn",
         )(h.astype(self.dtype), h.astype(self.dtype), mask=mask)
         x = x + attn
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_2")(x)
         h = dense(self.width * self.mlp_ratio, self.dtype, name="mlp_fc")(
             h.astype(self.dtype)
         )
-        h = nn.gelu(h, approximate=False)
+        h = _act(self.act, h)
         h = dense(self.width, self.dtype, name="mlp_proj")(h)
         return x + h
 
@@ -85,9 +96,10 @@ class CLIPTextTower(nn.Module):
         n_blocks = cfg.layers - (1 if cfg.layer == "penultimate" else 0)
         for i in range(n_blocks):
             x = ResidualAttentionBlock(
-                cfg.width, cfg.heads, cfg.mlp_ratio, self.dtype, name=f"block_{i}"
+                cfg.width, cfg.heads, cfg.mlp_ratio, self.dtype, act=cfg.act,
+                name=f"block_{i}",
             )(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_final")(x)
         return x
 
 

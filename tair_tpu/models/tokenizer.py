@@ -178,3 +178,13 @@ def tokenize(
             ids[-1] = tok.eot_token
         result[i, : len(ids)] = ids
     return result
+
+
+def empty_tokens(batch: int, context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+    """Empty-prompt token batch ([SOT, EOT, 0...]) — the CFG uncond branch
+    and the prompt-recycling loop's initial condition share this framing."""
+    tok = get_tokenizer()
+    out = np.zeros((batch, context_length), np.int32)
+    out[:, 0] = tok.sot_token
+    out[:, 1] = tok.eot_token
+    return out

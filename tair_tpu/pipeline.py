@@ -292,17 +292,12 @@ class TeReDiff:
         total = sp.num_steps
         b, h, w, _ = lq.shape
 
-        from .models.tokenizer import get_tokenizer
+        from .models.tokenizer import empty_tokens
 
-        tok = get_tokenizer()
         clean = self.clean(params, lq)
         c_img = self.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False)
-        empty = (
-            jnp.zeros((b, 77), jnp.int32)
-            .at[:, 0].set(tok.sot_token)
-            .at[:, 1].set(tok.eot_token)
-        )
-        c_txt0 = self.cldm.clip_encode_tokens(params, empty)
+        tokens0 = jnp.asarray(empty_tokens(b))
+        c_txt0 = self.cldm.clip_encode_tokens(params, tokens0)
 
         model_fn = partial(self.cldm.apply, params)
         k_noise, k_chain = jax.random.split(rng)
@@ -350,7 +345,7 @@ class TeReDiff:
             return (x, c_txt, tokens), None
 
         (x0, _, tokens), _ = jax.lax.scan(
-            body, (x_T, c_txt0, empty), jnp.arange(total)
+            body, (x_T, c_txt0, tokens0), jnp.arange(total)
         )
         restored = self.cldm.vae_decode(params, x0)
         return jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0), tokens

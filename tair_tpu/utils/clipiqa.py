@@ -215,12 +215,16 @@ class CLIPIQAMetric:
         self.visual_params = visual_params
         self.text_emb = text_emb          # [2, embed_dim], L2-normalized
         self.logit_scale = float(logit_scale)
+        # one compiled program per image shape, reused across a directory
+        self._apply = jax.jit(
+            lambda p, x: self.visual.apply({"params": p}, x)
+        )
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         mean = jnp.asarray(CLIP_MEAN)
         std = jnp.asarray(CLIP_STD)
         x = (images - mean) / std
-        feat = self.visual.apply({"params": self.visual_params}, x)
+        feat = self._apply(self.visual_params, x)
         feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
         logits = self.logit_scale * feat @ self.text_emb.T    # [B, 2]
         return jax.nn.softmax(logits, axis=-1)[:, 0]
@@ -266,19 +270,24 @@ class CLIPIQAMetric:
         ))
         cfg = ModifiedResNetConfig(
             layers=tuple(n_stage_blocks), width=width, embed_dim=embed_dim,
+            # OpenAI ModifiedResNet: heads = embed_width / 64 where the
+            # attnpool embed width is stem_width * 32 (RN50: 64 -> 32 heads,
+            # RN50x4: 80 -> 40); deriving it keeps non-RN50 checkpoints honest
+            heads=width * 32 // 64,
             image_size=spacial * 32, pos_embedding=pos_embedding,
         )
         visual_params = convert_clip_rn50_visual(sd, cfg)
 
         # text side: OpenAI CLIP text transformer (width 512 / 12 layers for
-        # RN50), run through ALL blocks + EOT pooling + projection
+        # RN50), run through ALL blocks + EOT pooling + projection. Original
+        # OpenAI checkpoints were trained with QuickGELU, not exact GELU.
         t_width = sd["ln_final.weight"].shape[0]
         n_layers = 0
         while f"transformer.resblocks.{n_layers}.ln_1.weight" in sd:
             n_layers += 1
         tcfg = CLIPTextConfig(
             width=t_width, heads=max(1, t_width // 64), layers=n_layers,
-            layer="last",
+            layer="last", act="quick_gelu",
         )
         tower = CLIPTextTower(tcfg)
         text_params, _ = convert_clip(sd, tcfg)

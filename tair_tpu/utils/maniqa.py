@@ -385,15 +385,26 @@ class MANIQAMetric:
             )
             h, w = max(h, size), max(w, size)
         rng = np.random.RandomState(self.seed)
-        scores = []
-        for _ in range(self.num_crops):
-            i = int(rng.randint(0, h - size + 1))
-            j = int(rng.randint(0, w - size + 1))
-            crop = jax.lax.dynamic_slice(
-                x, (0, i, j, 0), (b, size, size, x.shape[-1])
-            )
-            scores.append(self._apply(self.params, crop))
-        return jnp.stack(scores).mean(0)
+        draws = [
+            (int(rng.randint(0, h - size + 1)), int(rng.randint(0, w - size + 1)))
+            for _ in range(self.num_crops)
+        ]
+        # evaluate each UNIQUE crop once (a crop-sized image draws (0,0)
+        # num_crops times -> one forward) as ONE batched apply, then average
+        # with the draw multiplicities so the protocol mean is unchanged
+        uniq = sorted(set(draws))
+        counts = jnp.asarray(
+            [draws.count(o) for o in uniq], jnp.float32
+        )[:, None]
+        crops = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(x, (0, i, j, 0), (b, size, size, x.shape[-1]))
+                for (i, j) in uniq
+            ],
+            axis=0,
+        )
+        scores = self._apply(self.params, crops).reshape(len(uniq), b)
+        return (scores * counts).sum(0) / self.num_crops
 
     @classmethod
     def from_torch(cls, path: str, **kw) -> "MANIQAMetric":

@@ -169,20 +169,37 @@ class RetinaFace(nn.Module):
 # --------------------------------------------------------------------------
 
 
-def priors_for(height: int, width: int, cfg: RetinaFaceConfig) -> np.ndarray:
-    """SSD priors [N, 4] (cx, cy, w, h), normalized to [0,1]."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _priors_cached(height: int, width: int, cfg: RetinaFaceConfig) -> np.ndarray:
     out = []
     for k, step in enumerate(cfg.steps):
         fh = int(np.ceil(height / step))
         fw = int(np.ceil(width / step))
-        for i in range(fh):
-            for j in range(fw):
-                for ms in cfg.min_sizes[k]:
-                    out.append([
-                        (j + 0.5) * step / width, (i + 0.5) * step / height,
-                        ms / width, ms / height,
-                    ])
-    return np.asarray(out, np.float32)
+        ii, jj = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
+        for ms in cfg.min_sizes[k]:
+            grid = np.stack(
+                [
+                    (jj + 0.5) * step / width, (ii + 0.5) * step / height,
+                    np.full_like(jj, ms / width, np.float64),
+                    np.full_like(ii, ms / height, np.float64),
+                ],
+                axis=-1,
+            ).reshape(-1, 4)
+            out.append(grid)
+        # interleave min_sizes per cell (biubug6 prior order: cell-major,
+        # then anchor)
+        per_cell = np.stack(out[-len(cfg.min_sizes[k]):], axis=1)
+        out = out[: -len(cfg.min_sizes[k])] + [per_cell.reshape(-1, 4)]
+    return np.concatenate(out, axis=0).astype(np.float32)
+
+
+def priors_for(height: int, width: int, cfg: RetinaFaceConfig) -> np.ndarray:
+    """SSD priors [N, 4] (cx, cy, w, h), normalized to [0,1]; cached per
+    (H, W) — directory evals at fixed resolution reuse one grid."""
+    return _priors_cached(height, width, cfg)
 
 
 def decode_boxes(deltas: np.ndarray, priors: np.ndarray, variances) -> np.ndarray:

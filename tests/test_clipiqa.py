@@ -234,3 +234,77 @@ def test_clipiqa_metric_end_to_end():
     for m in (metric, metric_nopos):
         out = np.asarray(m(bigger))
         assert out.shape == (1,) and np.isfinite(out).all()
+
+
+def test_clipiqa_text_tower_quickgelu_parity():
+    """The antonym-prompt embeddings must match a torch mirror of the
+    ORIGINAL OpenAI CLIP text transformer — which uses QuickGELU
+    (x*sigmoid(1.702x)), not the exact GELU of the SD-2.1 OpenCLIP tower.
+    A round-2 review found the text side was built with the wrong
+    activation; this pins it."""
+    import torch
+    from torch import nn
+
+    from tair_tpu.models.tokenizer import tokenize
+    from tair_tpu.utils.clipiqa import DEFAULT_PROMPTS, CLIPIQAMetric
+
+    width, layers = 8, 2
+    rs = np.random.RandomState(3)
+    sd = _tiny_text_sd(rs, width=width, layers=layers)
+
+    # visual side present but unused by this check
+    torch.manual_seed(0)
+    tnet = _torch_modified_resnet(WIDTH, LAYERS, EMBED, HEADS, IMG)
+    for k, v in tnet.state_dict().items():
+        if ".downsample." in k:
+            k = k.replace("downsample.1.", "downsample.0.").replace(
+                "downsample.2.", "downsample.1."
+            )
+        sd[f"visual.{k}"] = v.detach().numpy()
+
+    metric = CLIPIQAMetric.from_state_dict(sd)
+
+    # torch mirror (OpenAI CLIP model.py text path, QuickGELU MLP)
+    tokens = torch.from_numpy(np.asarray(tokenize(list(DEFAULT_PROMPTS))))
+    x = torch.from_numpy(sd["token_embedding.weight"]).float()[tokens]
+    x = x + torch.from_numpy(sd["positional_embedding"]).float()
+    t = x.shape[1]
+    causal = torch.full((t, t), float("-inf")).triu(1)
+    for i in range(layers):
+        p = f"transformer.resblocks.{i}"
+        attn = nn.MultiheadAttention(width, 1, batch_first=True)
+        with torch.no_grad():
+            attn.in_proj_weight.copy_(torch.from_numpy(sd[f"{p}.attn.in_proj_weight"]))
+            attn.in_proj_bias.copy_(torch.from_numpy(sd[f"{p}.attn.in_proj_bias"]))
+            attn.out_proj.weight.copy_(torch.from_numpy(sd[f"{p}.attn.out_proj.weight"]))
+            attn.out_proj.bias.copy_(torch.from_numpy(sd[f"{p}.attn.out_proj.bias"]))
+
+        def ln(name, v):
+            return torch.nn.functional.layer_norm(
+                v, (width,), torch.from_numpy(sd[f"{p}.{name}.weight"]).float(),
+                torch.from_numpy(sd[f"{p}.{name}.bias"]).float(), 1e-5,
+            )
+
+        h = ln("ln_1", x)
+        with torch.no_grad():
+            a, _ = attn(h, h, h, attn_mask=causal, need_weights=False)
+        x = x + a
+        h = ln("ln_2", x)
+        h = h @ torch.from_numpy(sd[f"{p}.mlp.c_fc.weight"]).float().T + torch.from_numpy(
+            sd[f"{p}.mlp.c_fc.bias"]).float()
+        h = h * torch.sigmoid(1.702 * h)  # QuickGELU
+        h = h @ torch.from_numpy(sd[f"{p}.mlp.c_proj.weight"]).float().T + torch.from_numpy(
+            sd[f"{p}.mlp.c_proj.bias"]).float()
+        x = x + h
+    x = torch.nn.functional.layer_norm(
+        x, (width,), torch.from_numpy(sd["ln_final.weight"]).float(),
+        torch.from_numpy(sd["ln_final.bias"]).float(), 1e-5,
+    )
+    eot = tokens.argmax(dim=-1)
+    pooled = x[torch.arange(x.shape[0]), eot]
+    emb = pooled @ torch.from_numpy(sd["text_projection"]).float()
+    emb = emb / emb.norm(dim=-1, keepdim=True)
+
+    np.testing.assert_allclose(
+        np.asarray(metric.text_emb), emb.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
