@@ -23,11 +23,26 @@ import jax.numpy as jnp
 A100_ANCHOR_IMG_PER_S = 0.04  # spotter-in-loop anchor (see docstring)
 
 
+def _wait_for_devices(attempts: int = 4, delay_s: float = 90.0) -> None:
+    """The remote-TPU relay occasionally drops for minutes at a time; retry
+    backend init instead of recording a bogus bench failure."""
+    for i in range(attempts):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"# backend unavailable ({e}); retry {i + 1}/{attempts}")
+            time.sleep(delay_s)
+
+
 def main() -> None:
     from tair_tpu.ops.attention import enable_inference_kernels
     from tair_tpu.pipeline import build_default_model
     from tair_tpu.utils.compile_cache import enable_compile_cache
 
+    _wait_for_devices()
     enable_compile_cache()
     enable_inference_kernels()
 
