@@ -68,6 +68,7 @@ class ValConfig:
     dists_weights: Optional[str] = None  # vgg16.pth:dists_weights.pt
     clipiqa_weights: Optional[str] = None  # CLIP RN50 state dict (RN50.pt)
     maniqa_weights: Optional[str] = None  # MANIQA ckpt (ckpt_koniq10k.pt)
+    musiq_weights: Optional[str] = None  # MUSIQ ckpt (see utils/musiq.py)
     # tiled (val_patches) settings
     patch_size: int = 128
     overlap: int = 16

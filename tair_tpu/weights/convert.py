@@ -465,6 +465,43 @@ def convert_maniqa(sd: TorchDict, cfg) -> Params:
     return out
 
 
+def convert_musiq(sd: TorchDict, cfg) -> Params:
+    """MUSIQ state dict (this repo's documented layout, tests/test_musiq.py)
+    -> utils/musiq.MUSIQ params. The published pyiqa checkpoint needs a
+    key-rename shim first (utils/musiq.py RECONSTRUCTION STATUS)."""
+    r = Reader(sd, "")
+    out: Params = {}
+
+    pe = "patch_encoder"
+    _set(out, f"{pe}/root/kernel", t_conv(r(f"{pe}.root.weight")))
+    _norm(out, f"{pe}/root_gn", r, f"{pe}.root_gn")
+    for gn in ("gn1", "gn2", "gn3"):
+        _norm(out, f"{pe}/block1/{gn}", r, f"{pe}.block1.{gn}")
+    for conv in ("conv1", "conv2", "conv3", "proj"):
+        if r.has(f"{pe}.block1.{conv}.weight"):
+            _set(out, f"{pe}/block1/{conv}/kernel",
+                 t_conv(r(f"{pe}.block1.{conv}.weight")))
+    _norm(out, f"{pe}/out_gn", r, f"{pe}.out_gn")
+    _lin(out, f"{pe}/embedding", r, f"{pe}.embedding")
+
+    bb = "backbone"
+    _set(out, f"{bb}/spatial_embedding", r(f"{bb}.spatial_embedding"))
+    _set(out, f"{bb}/scale_embedding", r(f"{bb}.scale_embedding"))
+    _set(out, f"{bb}/cls_token", r(f"{bb}.cls_token").reshape(1, 1, -1))
+    for i in range(cfg.layers):
+        src = f"{bb}.blocks.{i}"
+        dst = f"{bb}/block_{i}"
+        _norm(out, f"{dst}/norm1", r, f"{src}.norm1")
+        _lin(out, f"{dst}/qkv", r, f"{src}.attn.qkv")
+        _lin(out, f"{dst}/proj", r, f"{src}.attn.proj")
+        _norm(out, f"{dst}/norm2", r, f"{src}.norm2")
+        _lin(out, f"{dst}/fc1", r, f"{src}.mlp.fc1")
+        _lin(out, f"{dst}/fc2", r, f"{src}.mlp.fc2")
+    _norm(out, f"{bb}/encoder_norm", r, f"{bb}.encoder_norm")
+    _lin(out, f"{bb}/head", r, f"{bb}.head")
+    return out
+
+
 # --------------------------------------------------------------------------
 # SwinIR
 # --------------------------------------------------------------------------

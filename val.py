@@ -104,6 +104,11 @@ def main() -> None:
         from tair_tpu.utils.maniqa import MANIQAMetric
 
         maniqa_metric = MANIQAMetric.from_torch(vc.maniqa_weights)
+    musiq_metric = None
+    if vc.musiq_weights:
+        from tair_tpu.utils.musiq import MUSIQMetric
+
+        musiq_metric = MUSIQMetric.from_torch(vc.musiq_weights)
 
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -169,6 +174,10 @@ def main() -> None:
         if maniqa_metric is not None:  # no-reference, needs no GT
             metrics["maniqa"] = float(
                 maniqa_metric(jnp.asarray(restored)[None])[0]
+            )
+        if musiq_metric is not None:  # no-reference, needs no GT
+            metrics["musiq"] = float(
+                musiq_metric(jnp.asarray(restored)[None])[0]
             )
         if vc.gt_dir:
             gt = load_image(os.path.join(vc.gt_dir, name), args.image_size)
