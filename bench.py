@@ -25,16 +25,31 @@ A100_ANCHOR_IMG_PER_S = 0.04  # spotter-in-loop anchor (see docstring)
 
 def _wait_for_devices(attempts: int = 4, delay_s: float = 90.0) -> None:
     """The remote-TPU relay occasionally drops for minutes at a time; retry
-    backend init instead of recording a bogus bench failure."""
+    backend init instead of recording a bogus bench failure. Retry notices
+    go to stderr (stdout is the one-JSON-line contract)."""
+    import os
+    import sys
+
     for i in range(attempts):
         try:
             jax.devices()
-            return
+            break
         except RuntimeError as e:
             if i == attempts - 1:
                 raise
-            print(f"# backend unavailable ({e}); retry {i + 1}/{attempts}")
+            print(f"# backend unavailable ({e}); retry {i + 1}/{attempts}",
+                  file=sys.stderr)
             time.sleep(delay_s)
+    # after a failed TPU init JAX may have cached the CPU backend and the
+    # retry 'succeeds' on it — never record CPU throughput as img/s/chip
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon") and not os.environ.get(
+        "TAIR_BENCH_ALLOW_CPU"
+    ):
+        raise RuntimeError(
+            f"bench requires a TPU backend, got {platform!r} "
+            "(set TAIR_BENCH_ALLOW_CPU=1 to override for debugging)"
+        )
 
 
 def main() -> None:

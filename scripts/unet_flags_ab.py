@@ -75,10 +75,14 @@ def main() -> None:
         base = env.get("XLA_FLAGS", "")
         env["XLA_FLAGS"] = (base + " " + flags).strip()
         env["_UNET_AB_NAME"] = name
-        r = subprocess.run(
-            [sys.executable, __file__, "--child"], env=env,
-            capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--child"], env=env,
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"RESULT {name}: TIMEOUT (>3600s compile/run)")
+            continue
         out = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
         print(out[-1] if out else f"RESULT {name}: FAILED rc={r.returncode}\n"
               + r.stderr[-500:])

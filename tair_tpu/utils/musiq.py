@@ -307,12 +307,22 @@ class MUSIQMetric:
         g2 = sd["backbone.spatial_embedding"].shape[0]
         n_scales = sd["backbone.scale_embedding"].shape[0] - 1
         root = sd["patch_encoder.root.weight"].shape[0]
+        if scales is not None:
+            scales = tuple(scales)
+        else:
+            scales = MUSIQConfig().scales
+        if len(scales) != n_scales:
+            raise ValueError(
+                f"checkpoint has {n_scales} resize scales (scale_embedding "
+                f"rows - 1) but scales={scales}; pass the model's longer-side "
+                "list explicitly via from_state_dict(scales=...)"
+            )
         cfg = MUSIQConfig(
             hidden=hidden, layers=layers,
             heads=heads if heads is not None else max(1, hidden // 64),
             mlp=sd["backbone.blocks.0.mlp.fc1.weight"].shape[0],
             root_width=root, hash_grid=int(round(g2 ** 0.5)),
-            scales=tuple(scales) if scales is not None
-            else MUSIQConfig().scales[:n_scales],
+            scales=scales,
+            num_outputs=sd["backbone.head.weight"].shape[0],
         )
         return cls(convert_musiq(sd, cfg), cfg, **kw)
