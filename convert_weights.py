@@ -28,6 +28,15 @@ def main() -> None:
     parser.add_argument("--swinir", default=None)
     parser.add_argument("--testr", default=None)
     parser.add_argument(
+        "--bsrnet", default=None,
+        help="BSRNet/BSRGAN RRDBNet ckpt -> <out>_bsrnet.npz (DiffBIR "
+             "BSRNetPipeline cleaner)",
+    )
+    parser.add_argument(
+        "--scunet", default=None,
+        help="SCUNet ckpt -> <out>_scunet.npz (DiffBIR SCUNetPipeline cleaner)",
+    )
+    parser.add_argument(
         "--controlnet-from-unet", action="store_true",
         help="init ControlNet from the converted UNet (zero-padded hint conv)",
     )
@@ -78,6 +87,31 @@ def main() -> None:
         converted, reader = convert_testr(ts, model.testr.cfg)
         params["testr"] = _cast_like(converted, params["testr"])
         print(f"loaded TESTR from {args.testr} (missing={len(reader.missing)})")
+
+    if args.bsrnet or args.scunet:
+        import os
+
+        from tair_tpu.models.cleaners import (
+            RRDBNet,
+            RRDBNetConfig,
+            SCUNet,
+            SCUNetConfig,
+        )
+        from tair_tpu.weights.convert import convert_bsrnet, convert_scunet
+
+        stem = os.path.splitext(args.out)[0]
+        if args.bsrnet:
+            converted, reader = convert_bsrnet(
+                load_torch_file(args.bsrnet), RRDBNetConfig()
+            )
+            save_params(f"{stem}_bsrnet.npz", converted)
+            print(f"wrote {stem}_bsrnet.npz (missing={len(reader.missing)})")
+        if args.scunet:
+            converted, reader = convert_scunet(
+                load_torch_file(args.scunet), SCUNetConfig()
+            )
+            save_params(f"{stem}_scunet.npz", converted)
+            print(f"wrote {stem}_scunet.npz (missing={len(reader.missing)})")
 
     save_params(args.out, params)
     print(f"wrote {args.out}")
