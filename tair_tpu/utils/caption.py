@@ -1,14 +1,15 @@
-"""Captioners: Empty / LLaVA (HF transformers) / hook for RAM.
+"""Captioners: Empty / LLaVA (HF transformers) / RAM++ (native graph).
 
 Counterpart of /root/reference/terediff/utils/caption.py:40-171 (LLaVA / RAM
 / Empty captioners — DiffBIR inference options outside the TAIR runtime
-path). The reference drives the upstream `llava` package; here the HF
-transformers port of the same model family runs the captioner on the host —
-captioning is CPU-side prompt preprocessing, the TPU compute path never
-blocks on it. Only the LLaVA checkpoint is external (a local
-`llava-hf/llava-1.5-7b-hf`-layout directory); RAM (recognize-anything) has
-no transformers port, so it stays a registry hook. The TAIR system itself
-generates prompts from its own spotter (pipeline.restore_with_ocr_feedback).
+path). The reference drives the upstream `llava` and `ram` packages; here
+the HF transformers port of LLaVA runs on the host, and RAM++ is a native
+jax graph (tair_tpu/models/ram.py — Swin-L encoder + tagging decoder) that
+runs the tag forward on-device. Only the checkpoints are external: a local
+`llava-hf/llava-1.5-7b-hf`-layout directory for LLaVA; the
+`ram_plus_swin_large_14m.pth` weights + `ram_tag_list.txt` for RAM (see
+models/ram.py RECONSTRUCTION STATUS). The TAIR system itself generates
+prompts from its own spotter (pipeline.restore_with_ocr_feedback).
 """
 
 from __future__ import annotations
@@ -85,6 +86,45 @@ class LLaVACaptioner(Captioner):
         return text.strip()
 
 
+class RAMCaptioner(Captioner):
+    """Tag-list captioning with RAM++ (reference caption.py:152-171: resize
+    to 384, predict tags, join with ', ').
+
+    checkpoint/tag_list_path/threshold_path: external RAM++ files (see
+    tair_tpu/models/ram.py). A prebuilt `tagger` may be passed directly
+    (tests inject a tiny random one).
+    """
+
+    def __init__(
+        self,
+        checkpoint: str | None = None,
+        tag_list_path: str | None = None,
+        threshold_path: str | None = None,
+        tagger=None,
+    ):
+        from tair_tpu.models.ram import RAMTagger
+
+        if tagger is None:
+            if not checkpoint:
+                raise ValueError(
+                    "RAMCaptioner needs the ram_plus_swin_large_14m.pth "
+                    "checkpoint (+ ram_tag_list.txt); the graph is native, "
+                    "only the weights are external — models/ram.py"
+                )
+            tagger = RAMTagger.from_torch(
+                checkpoint, tag_list_path=tag_list_path,
+                threshold_path=threshold_path,
+            )
+        self.tagger = tagger
+
+    def __call__(self, image: np.ndarray) -> str:
+        from tair_tpu.models.ram import preprocess
+
+        x = preprocess(
+            np.clip(image, 0.0, 1.0), self.tagger.cfg.swin.img_size)
+        return ", ".join(self.tagger(x)[0])
+
+
 def register_captioner(name: str, factory: Callable[..., Captioner]) -> None:
     _REGISTRY[name] = factory
 
@@ -94,8 +134,7 @@ def build_captioner(name: str, **kwargs) -> Captioner:
         return EmptyCaptioner()
     if name not in _REGISTRY:
         raise ValueError(
-            f"captioner {name!r} not registered; the RAM captioner requires "
-            "an external package/checkpoint — register a factory via "
+            f"captioner {name!r} not registered; register a factory via "
             "register_captioner"
         )
     return _REGISTRY[name](**kwargs)
@@ -103,3 +142,4 @@ def build_captioner(name: str, **kwargs) -> Captioner:
 
 register_captioner("empty", EmptyCaptioner)
 register_captioner("llava", LLaVACaptioner)
+register_captioner("ram", RAMCaptioner)

@@ -502,6 +502,59 @@ def convert_musiq(sd: TorchDict, cfg) -> Params:
     return out
 
 
+def convert_ram_plus(sd: TorchDict, cfg) -> Params:
+    """RAM++ checkpoint (ram_plus_swin_large_14m.pth layout: BLIP swin
+    visual_encoder + frozen label_embed + q2l tagging_head BertModel +
+    GroupWiseLinear fc) -> models/ram.RAMPlus params. Layout reconstructed
+    from the published ram_plus.py (see models/ram.py RECONSTRUCTION
+    STATUS); the reference consumer is terediff/utils/caption.py:152-171."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    r = Reader(sd, "")
+    out: Params = {}
+
+    ve = "visual_encoder"
+    _conv(out, f"{ve}/patch_embed", r, f"{ve}.patch_embed.proj")
+    _norm(out, f"{ve}/patch_norm", r, f"{ve}.patch_embed.norm")
+    for i, depth in enumerate(cfg.swin.depths):
+        for j in range(depth):
+            src = f"{ve}.layers.{i}.blocks.{j}"
+            dst = f"{ve}/stage_{i}/block_{j}"
+            _norm(out, f"{dst}/norm1", r, f"{src}.norm1")
+            _lin(out, f"{dst}/attn/qkv", r, f"{src}.attn.qkv")
+            _lin(out, f"{dst}/attn/proj", r, f"{src}.attn.proj")
+            _set(out, f"{dst}/attn/relative_position_bias_table",
+                 r(f"{src}.attn.relative_position_bias_table"))
+            _norm(out, f"{dst}/norm2", r, f"{src}.norm2")
+            _lin(out, f"{dst}/fc1", r, f"{src}.mlp.fc1")
+            _lin(out, f"{dst}/fc2", r, f"{src}.mlp.fc2")
+        if i < len(cfg.swin.depths) - 1:
+            ds = f"{ve}.layers.{i}.downsample"
+            _norm(out, f"{ve}/stage_{i}/downsample/norm", r, f"{ds}.norm")
+            _lin(out, f"{ve}/stage_{i}/downsample/reduction", r,
+                 f"{ds}.reduction", bias=False)
+    _norm(out, f"{ve}/norm", r, f"{ve}.norm")
+
+    _set(out, "label_embed", r("label_embed"))
+    _set(out, "reweight_scale", np.asarray(r("reweight_scale")).reshape(()))
+    _lin(out, "image_proj", r, "image_proj")
+    _lin(out, "wordvec_proj", r, "wordvec_proj")
+    for i in range(cfg.layers):
+        src = f"tagging_head.encoder.layer.{i}"
+        dst = f"tag_layer_{i}"
+        for tsrc, tdst in (("attention", "self"), ("crossattention", "cross")):
+            for p in ("query", "key", "value"):
+                _lin(out, f"{dst}/{tdst}_{p}", r, f"{src}.{tsrc}.self.{p}")
+            _lin(out, f"{dst}/{tdst}_out", r, f"{src}.{tsrc}.output.dense")
+            _norm(out, f"{dst}/{tdst}_ln", r, f"{src}.{tsrc}.output.LayerNorm")
+        _lin(out, f"{dst}/ffn_in", r, f"{src}.intermediate.dense")
+        _lin(out, f"{dst}/ffn_out", r, f"{src}.output.dense")
+        _norm(out, f"{dst}/ffn_ln", r, f"{src}.output.LayerNorm")
+    _set(out, "fc_w", r("fc.W").reshape(cfg.num_class, cfg.hidden))
+    _set(out, "fc_b", r("fc.b").reshape(cfg.num_class))
+    return out
+
+
 # --------------------------------------------------------------------------
 # SwinIR
 # --------------------------------------------------------------------------

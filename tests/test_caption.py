@@ -90,3 +90,38 @@ def test_llava_captioner_requires_checkpoint():
 
     with pytest.raises(ValueError):
         build_captioner("llava")
+
+
+def test_ram_captioner_tiny_end_to_end():
+    import jax
+    import jax.numpy as jnp
+
+    from tair_tpu.models.ram import RAMConfig, RAMPlus, RAMTagger, SwinConfig
+    from tair_tpu.utils.caption import RAMCaptioner, build_captioner
+
+    cfg = RAMConfig(
+        swin=SwinConfig(img_size=16, patch_size=4, embed_dim=8,
+                        depths=(1, 1), num_heads=(2, 2), window=2,
+                        mlp_ratio=2.0),
+        num_class=5, des_per_class=2, embed_width=8, hidden=8, heads=2,
+        intermediate=16, layers=1, threshold=0.5,
+    )
+    params = RAMPlus(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    tagger = RAMTagger(params, cfg,
+                       tag_list=["cat", "dog", "sign", "text", "car"],
+                       thresholds=0.0)
+    cap = build_captioner("ram", tagger=tagger)
+    assert isinstance(cap, RAMCaptioner)
+    image = np.random.RandomState(0).rand(24, 30, 3).astype(np.float32)
+    text = cap(image)
+    # threshold 0 fires every tag, joined reference-style with ', '
+    assert text == "cat, dog, sign, text, car"
+    assert cap(image) == text
+
+
+def test_ram_captioner_requires_checkpoint():
+    from tair_tpu.utils.caption import build_captioner
+
+    with pytest.raises(ValueError):
+        build_captioner("ram")
