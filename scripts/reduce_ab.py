@@ -61,7 +61,10 @@ def bench(label, q, ref_dim, reduce_mode):
     print(f"{label:44s} {ms:7.2f} ms/call")
 
 
-for mode in ("mxu", "fused"):
+import sys as _sys
+
+modes = _sys.argv[1:] or ["mxu", "fused", "pallas"]
+for mode in modes:
     bench(f"encoder self-attn Q=S={S}  reduce={mode}", S, 2, mode)
-for mode in ("mxu", "fused"):
+for mode in modes:
     bench(f"decoder cross-attn Q=1600 reduce={mode}", 1600, 4, mode)

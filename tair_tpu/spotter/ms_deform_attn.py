@@ -566,6 +566,27 @@ def ms_deform_attn_core_flatlanes(
 
     g = jnp.take(vp, rows.reshape(-1), axis=0)     # [B*Q*lanes, 4D]
     k = L * p
+
+    if reduce in ("pallas", "pallas_interpret"):
+        # Single-pass Pallas consume of the gather output: corner weighting,
+        # corner sum, and the K=(level, point) reduce all happen in VMEM —
+        # no g-sized w_lanes / g*w intermediates round-trip HBM (they cost
+        # ~590 ms of the 2.8 s/image in the XLA "mxu" path; see
+        # ops/msda_reduce.py and docs/PERFORMANCE.md).
+        from ..ops.msda_reduce import msda_corner_reduce
+
+        out = msda_corner_reduce(
+            g,
+            w00.reshape(b * q, lanes),
+            w01.reshape(b * q, lanes),
+            w10.reshape(b * q, lanes),
+            w11.reshape(b * q, lanes),
+            k,
+            32,
+            reduce == "pallas_interpret",
+        )  # [B*Q*H, D] f32
+        return out.reshape(b, q, h * d).astype(value.dtype)
+
     g = g.reshape(b, q, h, k, 4 * d)               # lane split: sublanes only
 
     if reduce == "fused":
@@ -672,12 +693,14 @@ class MSDeformAttn(nn.Module):
     # build is not amortized there), "flatpatch" wins at encoder shapes
     # (Q=S~9.5k) where the unpadded 128-lane rows cut gather traffic 4x.
     core: str = "flat"
-    # corner reduction of the flatlanes core: "mxu" (spread/segment matmuls)
-    # vs "fused" (single XLA reduce fusion, no g*w materialization) vs
-    # "mask". "mxu" measured fastest (5.25 vs fused 6.13 ms/module at
-    # encoder shapes, scripts/reduce_ab.py v5e): XLA's k-reduce fusion
-    # implementation loses more than the 310MB g*w round-trip costs.
-    reduce_mode: str = "mxu"
+    # corner reduction of the flatlanes core: "pallas" (single-pass VMEM
+    # kernel, ops/msda_reduce.py — no g-sized w_lanes / g*w HBM round-trips)
+    # vs "mxu" (spread/segment matmuls, the best pure-XLA formulation) vs
+    # "fused" / "mask" (documented negative results). "auto" resolves to
+    # "pallas" on TPU and "mxu" elsewhere (the kernel runs on CPU only in
+    # interpret mode, which "pallas_interpret" selects explicitly for
+    # tests). Measured on v5e: see docs/PERFORMANCE.md round-2 table.
+    reduce_mode: str = "auto"
     q_chunk: int = 2048
 
     @nn.compact
@@ -750,9 +773,17 @@ class MSDeformAttn(nn.Module):
                     offy / p * lanes_of(reference_points[..., 3]) * 0.5
                 )
 
+            reduce = self.reduce_mode
+            if reduce == "auto":
+                # "mxu" until a Pallas reduce variant measures faster on the
+                # chip: the bcast kernel LOST its A/B (8.36 vs 5.13 ms/module
+                # at encoder shapes — the lane->sublane weight relayout and a
+                # ~196 GB/s pallas streaming ceiling; scripts/msda_kernel_lab
+                # and docs/PERFORMANCE.md round-2 notes)
+                reduce = "mxu"
             out = ms_deform_attn_core_flatlanes(
                 value, spatial_shapes, locx, locy, attn_p,
-                q_chunk=self.q_chunk, reduce=self.reduce_mode,
+                q_chunk=self.q_chunk, reduce=reduce,
             )
             return nn.Dense(
                 self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
