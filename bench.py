@@ -61,11 +61,15 @@ def main() -> None:
     enable_compile_cache()
     enable_inference_kernels()
 
-    model = build_default_model(dtype=jnp.bfloat16)
+    import os
+
+    # sparse encoder update (serving knob like spotter_every; 0 = exact
+    # reference semantics, the headline default — see docs/PERFORMANCE.md)
+    enc_topk = int(os.environ.get("TAIR_BENCH_ENC_TOPK", "0"))
+    overrides = {"enc_topk": enc_topk} if enc_topk else None
+    model = build_default_model(dtype=jnp.bfloat16, testr_overrides=overrides)
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, latent_hw=8)
-
-    import os
 
     # bf16-resident params (default): XLA's AOT memory analysis shows fp32
     # masters cost 6.3 GiB args + 3.7 GiB temps (the hoisted bf16 weight
@@ -132,6 +136,7 @@ def main() -> None:
                 "metric": (
                     "terediff_512px_images_per_sec_per_chip_50steps_with_ocr_loop"
                     + (f"_spotter_every{spotter_every}" if spotter_every != 1 else "")
+                    + (f"_enc_topk{enc_topk}" if enc_topk else "")
                 ),
                 "value": round(img_per_s_per_chip, 5),
                 "unit": "img/s/chip",

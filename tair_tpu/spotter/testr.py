@@ -53,6 +53,10 @@ class TESTRConfig:
     # encoder msda query chunk; 16384 = unchunked at inference shapes,
     # lower it for large-batch training to bound autodiff residuals
     enc_msda_q_chunk: int = 16384
+    # sparse encoder update (0 = full/exact): update only the top-N salient
+    # tokens per encoder layer; serving knob like spotter_every — see
+    # DeformableTransformer.enc_topk and docs/PERFORMANCE.md
+    enc_topk: int = 0
     # remat encoder/decoder layers (training: recompute msda gathers instead
     # of keeping them as autodiff residuals; mirrors UNetConfig.use_checkpoint)
     use_checkpoint: bool = False
@@ -133,6 +137,7 @@ class TESTR(nn.Module):
                 dec_n_points=cfg.dec_n_points,
                 num_proposals=cfg.num_proposals,
                 enc_msda_q_chunk=cfg.enc_msda_q_chunk,
+                enc_topk=cfg.enc_topk,
                 use_checkpoint=cfg.use_checkpoint,
                 dtype=self.dtype,
                 name="transformer",

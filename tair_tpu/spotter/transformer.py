@@ -149,17 +149,49 @@ class EncoderLayer(nn.Module):
     msda_core: str = "flatlanes"
 
     @nn.compact
-    def __call__(self, src, pos, reference_points, spatial_shapes):
-        q = src + pos
-        src2 = MSDeformAttn(
+    def __call__(self, src, pos, reference_points, spatial_shapes, sel_idx=None):
+        """sel_idx=None: full update (exact reference semantics).
+
+        sel_idx [B, N]: sparse update — only the selected tokens are used as
+        msda queries and run through the FFN; every other token passes
+        through unchanged (it still serves as a gather source via `src`).
+        The msda gather row count scales with the query count, so this cuts
+        the encoder's dominant cost by S/N (Sparse-DETR-style serving knob;
+        see DeformableTransformer.enc_topk).
+        """
+        attn = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             dtype=self.dtype, core=self.msda_core, q_chunk=self.msda_q_chunk,
             name="self_attn",
-        )(q, reference_points, src, spatial_shapes)
-        src = _ln("norm1")(src + src2).astype(self.dtype)
-        h = nn.relu(_dense(self.d_ffn, self.dtype, "linear1")(src))
-        h = _dense(self.d_model, self.dtype, "linear2")(h)
-        return _ln("norm2")(src + h).astype(self.dtype)
+        )
+        norm1, norm2 = _ln("norm1"), _ln("norm2")
+        lin1 = _dense(self.d_ffn, self.dtype, "linear1")
+        lin2 = _dense(self.d_model, self.dtype, "linear2")
+
+        if sel_idx is None:
+            q = src + pos
+            src2 = attn(q, reference_points, src, spatial_shapes)
+            src = norm1(src + src2).astype(self.dtype)
+            h = nn.relu(lin1(src))
+            h = lin2(h)
+            return norm2(src + h).astype(self.dtype)
+
+        b, n = sel_idx.shape
+        src_sel = jnp.take_along_axis(src, sel_idx[..., None], axis=1)
+        pos_sel = jnp.take_along_axis(
+            jnp.broadcast_to(pos, src.shape), sel_idx[..., None], axis=1
+        )
+        ref_idx = jnp.broadcast_to(
+            sel_idx[:, :, None, None],
+            (b, n) + reference_points.shape[2:],
+        )
+        ref_sel = jnp.take_along_axis(reference_points, ref_idx, axis=1)
+        src2 = attn(src_sel + pos_sel, ref_sel, src, spatial_shapes)
+        upd = norm1(src_sel + src2).astype(self.dtype)
+        h = nn.relu(lin1(upd))
+        h = lin2(h)
+        upd = norm2(upd + h).astype(self.dtype)
+        return src.at[jnp.arange(b)[:, None], sel_idx].set(upd)
 
 
 class CompositeDecoderLayer(nn.Module):
@@ -281,6 +313,14 @@ class DeformableTransformer(nn.Module):
     dec_n_points: int = 4
     num_proposals: int = 100
     enc_msda_q_chunk: int = 16384
+    # Sparse encoder update (serving knob, default off = exact semantics):
+    # when >0, only the enc_topk highest-salience tokens (scored by the
+    # model's own two-stage objectness head applied to the encoder INPUT)
+    # are updated per encoder layer; the rest pass through but remain gather
+    # sources. Gather rows — the measured wall at ~45% of the restore loop —
+    # scale with the query count, so cost drops ~S/N. Quality impact needs
+    # trained weights to quantify; keep 0 for reference-parity runs.
+    enc_topk: int = 0
     # gradient checkpointing per encoder/decoder layer (training memory: the
     # msda gather intermediates are the big residuals; remat recomputes them)
     use_checkpoint: bool = False
@@ -310,10 +350,29 @@ class DeformableTransformer(nn.Module):
         )
         pos_flat = jnp.broadcast_to(pos_flat, src_flat.shape)
 
+        # two-stage head modules, hoisted so the sparse-encoder salience
+        # scorer can share their parameters (called once for selection on the
+        # encoder input, once on the final memory — same instances)
+        prop_logit, prop_valid = proposal_grid(spatial_shapes)
+        enc_output = _dense(c, self.dtype, "enc_output")
+        enc_output_norm = _ln("enc_output_norm")
+        bbox_class = _dense(1, self.dtype, "bbox_class_embed")
+        bbox_embed = MLPHead(c, 4, 3, dtype=self.dtype, name="bbox_embed")
+
         # encoder
         ref = jnp.asarray(encoder_reference_points(spatial_shapes))[None]
         ref = jnp.broadcast_to(ref, (b,) + ref.shape[1:])
         memory = src_flat
+
+        sel_idx = None
+        if self.enc_topk and self.enc_topk < src_flat.shape[1]:
+            sal = bbox_class(
+                enc_output_norm(enc_output(src_flat)).astype(self.dtype)
+            )[..., 0]
+            sal = jnp.where(jnp.asarray(prop_valid)[None], sal, -jnp.inf)
+            _, sel_idx = jax.lax.top_k(sal, self.enc_topk)  # [B, N]
+            sel_idx = jnp.sort(sel_idx, axis=1)  # ascending: friendlier gathers
+
         # spatial_shapes is a static Python tuple -> static_argnums under remat
         enc_cls = (
             nn.remat(EncoderLayer, static_argnums=(4,))
@@ -330,22 +389,18 @@ class DeformableTransformer(nn.Module):
                 c, self.d_ffn, self.n_levels, self.n_heads, self.enc_n_points,
                 dtype=self.dtype, msda_q_chunk=self.enc_msda_q_chunk,
                 name=f"enc_{i}",
-            )(memory, pos_flat, ref, spatial_shapes)
+            )(memory, pos_flat, ref, spatial_shapes, sel_idx)
 
         # two-stage proposals
-        prop_logit, prop_valid = proposal_grid(spatial_shapes)
         output_memory = jnp.where(
             jnp.asarray(prop_valid)[None, :, None], memory, 0.0
         )
-        output_memory = _ln("enc_output_norm")(
-            _dense(c, self.dtype, "enc_output")(output_memory)
-        ).astype(self.dtype)
-
-        bbox_class = _dense(1, self.dtype, "bbox_class_embed")
-        enc_class = bbox_class(output_memory)  # [B, S, 1]
-        bbox_delta = MLPHead(c, 4, 3, dtype=self.dtype, name="bbox_embed")(
-            output_memory
+        output_memory = enc_output_norm(enc_output(output_memory)).astype(
+            self.dtype
         )
+
+        enc_class = bbox_class(output_memory)  # [B, S, 1]
+        bbox_delta = bbox_embed(output_memory)
         enc_coord_unact = bbox_delta + jnp.asarray(prop_logit)[None]  # [B, S, 4]
 
         k = self.num_proposals
