@@ -67,7 +67,12 @@ def main() -> None:
     # reference semantics, the headline default — see docs/PERFORMANCE.md)
     enc_topk = int(os.environ.get("TAIR_BENCH_ENC_TOPK", "0"))
     overrides = {"enc_topk": enc_topk} if enc_topk else None
-    model = build_default_model(dtype=jnp.bfloat16, testr_overrides=overrides)
+    # w8a8 UNet+ControlNet serving quantization (ops/quant.py; approximation
+    # knob like enc_topk/spotter_every — never the headline default)
+    quantized = os.environ.get("TAIR_BENCH_QUANT", "0") == "1"
+    model = build_default_model(
+        dtype=jnp.bfloat16, testr_overrides=overrides, quantized=quantized
+    )
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, latent_hw=8)
 
@@ -137,6 +142,7 @@ def main() -> None:
                     "terediff_512px_images_per_sec_per_chip_50steps_with_ocr_loop"
                     + (f"_spotter_every{spotter_every}" if spotter_every != 1 else "")
                     + (f"_enc_topk{enc_topk}" if enc_topk else "")
+                    + ("_w8a8" if quantized else "")
                 ),
                 "value": round(img_per_s_per_chip, 5),
                 "unit": "img/s/chip",

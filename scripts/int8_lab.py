@@ -37,9 +37,11 @@ N_DENSE = 8   # 8 x 2 x 13 MB bf16 dense weights = 210 MB/step streamed
 def bench(label, fn, args):
     try:
         r = jax.jit(fn)
-        jax.block_until_ready(r(*args))
+        # float() fetch: block_until_ready is not a reliable barrier through
+        # the remote-device relay (same caveat as bench.py)
+        float(r(*args))
         t0 = time.perf_counter()
-        jax.block_until_ready(r(*args))
+        float(r(*args))
         dt = (time.perf_counter() - t0) / STEPS
         print(f"{label:44s} {dt*1e3:8.3f} ms/step", flush=True)
     except Exception as e:  # noqa: BLE001 — a lab: report and move on
@@ -52,7 +54,7 @@ def scanned(body):
             return body(c, weights), None
 
         out, _ = jax.lax.scan(step, x0, None, length=STEPS)
-        return out
+        return jnp.sum(out.astype(jnp.float32))
 
     return fn
 

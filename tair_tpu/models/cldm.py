@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from ..ops import quant
 from .clip import CLIPTextConfig, CLIPTextTower
 from .tokenizer import tokenize
 from .unet import ControlNet, UNetConfig, UNetModel
@@ -32,6 +33,12 @@ class ControlLDM:
     clip: CLIPTextTower
     scale_factor: float = 0.18215
     control_scales: Tuple[float, ...] = (1.0,) * 13
+    # w8a8 serving quantization of the UNet+ControlNet step (ops/quant.py):
+    # weights quantize in-graph (XLA hoists the int8 copy out of the sampler
+    # scan -> the loop streams half the weight bytes), activations
+    # dynamically per call, s8 x s8 -> s32 on the MXU. Inference-only
+    # approximation knob like spotter_every/enc_topk; default exact.
+    quantized: bool = False
 
     # ---- factory ------------------------------------------------------
 
@@ -44,6 +51,7 @@ class ControlLDM:
         controlnet_cfg: Optional[UNetConfig] = None,
         latent_scale_factor: float = 0.18215,
         dtype=jnp.float32,
+        quantized: bool = False,
     ) -> "ControlLDM":
         return cls(
             unet=UNetModel(unet_cfg, dtype=dtype),
@@ -51,6 +59,7 @@ class ControlLDM:
             vae=AutoencoderKL(vae_cfg, dtype=dtype),
             clip=CLIPTextTower(clip_cfg, dtype=dtype),
             scale_factor=latent_scale_factor,
+            quantized=quantized,
         )
 
     def init(self, rng: jax.Array, latent_hw: int = 8) -> Params:
@@ -129,18 +138,19 @@ class ControlLDM:
         UNet runs uncontrolled, matching cldm.py:160-179).
         """
         c_txt = cond["c_txt"]
-        if "c_img" in cond and cond["c_img"] is not None:
-            control = self.controlnet.apply(
-                {"params": params["controlnet"]}, x_noisy, cond["c_img"], t, c_txt
+        with quant.quantized(self.quantized):
+            if "c_img" in cond and cond["c_img"] is not None:
+                control = self.controlnet.apply(
+                    {"params": params["controlnet"]}, x_noisy, cond["c_img"], t, c_txt
+                )
+                control = tuple(c * s for c, s in zip(control, self.control_scales))
+            else:
+                control = None
+            return self.unet.apply(
+                {"params": params["unet"]},
+                x_noisy,
+                t,
+                c_txt,
+                control=control,
+                extract_features=extract_features,
             )
-            control = tuple(c * s for c, s in zip(control, self.control_scales))
-        else:
-            control = None
-        return self.unet.apply(
-            {"params": params["unet"]},
-            x_noisy,
-            t,
-            c_txt,
-            control=control,
-            extract_features=extract_features,
-        )

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import quant
+
 Dtype = Any
 
 
@@ -62,7 +64,21 @@ class GroupNorm32(nn.Module):
         return x.astype(orig_dtype)
 
 
-def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False, name=None):
+def _conv_impl(quantize: bool):
+    """w8a8 serving path (ops/quant.py) when a quantized() scope is active."""
+    if quantize and quant.active():
+        return quant.w8a8_conv
+    return None
+
+
+def _dot_impl(quantize: bool):
+    if quantize and quant.active():
+        return quant.w8a8_dot_general
+    return None
+
+
+def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
+            name=None, quantize: bool = True):
     return nn.Conv(
         features,
         (3, 3),
@@ -70,29 +86,33 @@ def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False, 
         dtype=dtype,
         param_dtype=jnp.float32,
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        conv_general_dilated=_conv_impl(quantize),
         name=name,
     )
 
 
-def conv1x1(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False, name=None):
+def conv1x1(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
+            name=None, quantize: bool = True):
     return nn.Conv(
         features,
         (1, 1),
         dtype=dtype,
         param_dtype=jnp.float32,
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        conv_general_dilated=_conv_impl(quantize),
         name=name,
     )
 
 
 def dense(features: int, dtype: Dtype = jnp.float32, use_bias: bool = True,
-          zero_init: bool = False, name=None):
+          zero_init: bool = False, name=None, quantize: bool = True):
     return nn.Dense(
         features,
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        dot_general=_dot_impl(quantize),
         name=name,
     )
 
@@ -123,7 +143,8 @@ class TimestepEmbedder(nn.Module):
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
         emb = timestep_embedding(t, self.model_channels)
-        emb = dense(self.model_channels * 4, self.dtype, name="fc1")(emb)
+        # tiny and runs once per step: excluded from w8a8 serving quantization
+        emb = dense(self.model_channels * 4, self.dtype, name="fc1", quantize=False)(emb)
         emb = nn.silu(emb)
-        emb = dense(self.model_channels * 4, self.dtype, name="fc2")(emb)
+        emb = dense(self.model_channels * 4, self.dtype, name="fc2", quantize=False)(emb)
         return emb

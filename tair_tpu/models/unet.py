@@ -68,10 +68,13 @@ class ResBlock(nn.Module):
         in_ch = x.shape[-1]
         h = nn.silu(GroupNorm32(name="in_norm")(x))
         h = conv3x3(self.out_channels, self.dtype, name="in_conv")(h)
+        # emb_proj is tiny (per-step cost ~0) and numerically load-bearing
+        # (scale/shift of the norm): excluded from w8a8 serving quantization
         emb_out = dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             self.dtype,
             name="emb_proj",
+            quantize=False,
         )(nn.silu(emb))
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
@@ -95,6 +98,8 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb=None):
+        from .layers import _conv_impl
+
         return nn.Conv(
             self.out_channels,
             (3, 3),
@@ -102,6 +107,7 @@ class Downsample(nn.Module):
             padding=1,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            conv_general_dilated=_conv_impl(True),
             name="conv",
         )(x)
 

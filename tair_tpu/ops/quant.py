@@ -1,0 +1,130 @@
+"""w8a8 quantized conv/dense for the weight-DMA-bound diffusion serving path.
+
+The UNet+ControlNet step is weight-DMA bound at batch 1 (docs/PERFORMANCE.md
+"UNet / attention": the async weight-prefetch copies dominate the timeline),
+so the only remaining lever there is fewer weight BYTES. scripts/int8_lab.py
+measured on v5e, 50-rep scans streaming weight chains from HBM:
+
+  - int8 weights DEQUANTIZED in-loop: no win (XLA hoists the loop-invariant
+    dequant out of the scan, so the loop streams bf16 again — the same
+    hoist it applies to fp32->bf16 master casts).
+  - NATIVE s8 x s8 -> s32 conv/dot on the MXU: conv chain 2.69 -> 1.84
+    ms/step (1.46x), dense chain 4.93 -> 3.24 (1.52x). The weight-quantize
+    also hoists — which is exactly what makes it pay: the hoisted artifact
+    IS int8, so the loop streams half the bytes, and the MXU runs int8 at
+    >= bf16 rate.
+
+Design (TPU-first, zero param-tree change):
+  - Weights stay fp32/bf16 params. `w8a8_dot_general` / `w8a8_conv` quantize
+    the weight INSIDE the jitted program — per-output-channel symmetric
+    int8 — and rely on XLA loop-invariant hoisting to materialize the int8
+    copy once outside the sampler scan. Converted reference checkpoints load
+    unchanged; there is no separate quantized checkpoint format.
+  - Activations are quantized dynamically per call (per-tensor symmetric
+    abs-max), matmul/conv runs s8 x s8 -> s32 on the MXU, and the output is
+    rescaled by (w_scale * x_scale) in one elementwise epilogue.
+  - Inference-only (jnp.round has no useful gradient); enable via
+    `UNetConfig.quantized=True` (bench: TAIR_BENCH_QUANT=1). Exact-semantics
+    paths never route through this module.
+
+Quality: standard w8a8 post-training quantization error (no calibration);
+needs trained weights to quantify, same caveat family as spotter_every /
+enc_topk (docs/SERVING.md).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_state = threading.local()
+
+
+def active() -> bool:
+    return getattr(_state, "on", False)
+
+
+@contextlib.contextmanager
+def quantized(on: bool = True):
+    """Scope (at trace time) within which layers.conv*/dense build w8a8 ops.
+
+    Used by UNetModel/ControlNet __call__ so the flag covers exactly their
+    submodule tree (Flax compact submodules execute synchronously inside the
+    parent's __call__) and nothing else in the fused program.
+    """
+    prev = active()
+    _state.on = on
+    try:
+        yield
+    finally:
+        _state.on = prev
+
+
+def _quant_weight(w: jnp.ndarray, reduce_axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8: returns (w8, scale[out]).
+
+    Zero channels (the zero-init convs of ControlNet/SD) get scale 1 and
+    all-zero w8, reproducing the exact-zero output.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    w8 = jnp.round(wf / scale).astype(jnp.int8)
+    return w8, scale.reshape(scale.shape[-1])
+
+
+def _quant_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tensor dynamic symmetric int8 for the activation."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x8 = jnp.round(xf / scale).astype(jnp.int8)
+    return x8, scale
+
+
+def w8a8_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                     preferred_element_type=None):
+    """Drop-in for lax.dot_general as nn.Dense(dot_general=...).
+
+    Assumes the Dense contraction layout ([..., in] x [in, out]) — asserted.
+    """
+    (lhs_c, rhs_c), batch = dimension_numbers
+    assert rhs.ndim == 2 and tuple(rhs_c) == (0,) and batch == ((), ()), (
+        "w8a8_dot_general supports the nn.Dense layout only"
+    )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    w8, wscale = _quant_weight(rhs, reduce_axes=(0,))
+    x8, xscale = _quant_act(lhs)
+    y = lax.dot_general(
+        x8, w8, dimension_numbers, preferred_element_type=jnp.int32
+    )
+    y = y.astype(jnp.float32) * (wscale * xscale)
+    return y.astype(out_dtype)
+
+
+def w8a8_conv(lhs, rhs, window_strides, padding, lhs_dilation=None,
+              rhs_dilation=None, dimension_numbers=None,
+              feature_group_count=1, batch_group_count=1, precision=None,
+              preferred_element_type=None):
+    """Drop-in for lax.conv_general_dilated as nn.Conv(conv_general_dilated=...).
+
+    NHWC/HWIO only (the repo's layout); per-output-channel weight scales.
+    """
+    assert feature_group_count == 1 and batch_group_count == 1
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    # kernel [*window, in, out] -> reduce all but the trailing out axis
+    w8, wscale = _quant_weight(rhs, reduce_axes=tuple(range(rhs.ndim - 1)))
+    x8, xscale = _quant_act(lhs)
+    y = lax.conv_general_dilated(
+        x8, w8, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (wscale * xscale)  # out channel is minor (NHWC)
+    return y.astype(out_dtype)

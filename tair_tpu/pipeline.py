@@ -387,12 +387,15 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
     )
 
 
-def build_default_model(dtype=jnp.bfloat16, testr_overrides=None) -> TeReDiff:
+def build_default_model(
+    dtype=jnp.bfloat16, testr_overrides=None, quantized=False
+) -> TeReDiff:
     """Production TAIR geometry (SD-2.1 + SwinIR-TAIR).
 
     testr_overrides: optional dict of TESTRConfig field overrides (e.g.
     {"use_checkpoint": True, "enc_msda_q_chunk": 2048} for memory-bound
-    training)."""
+    training). quantized=True enables the w8a8 UNet+ControlNet serving
+    path (ops/quant.py; inference-only approximation knob)."""
     from .models.clip import CLIPTextConfig
     from .models.swinir import SwinIRConfig
     from .models.unet import UNetConfig
@@ -403,6 +406,7 @@ def build_default_model(dtype=jnp.bfloat16, testr_overrides=None) -> TeReDiff:
         vae_cfg=VAEConfig(),
         clip_cfg=CLIPTextConfig(),
         dtype=dtype,
+        quantized=quantized,
     )
     return TeReDiff.create(
         cldm=cldm,
