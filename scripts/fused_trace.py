@@ -36,8 +36,14 @@ def summarize(log_dir, top=24):
 
 
 def run_batch(b):
+    import os
+
     enable_inference_kernels()
-    model = build_default_model(dtype=jnp.bfloat16)
+    # TAIR_TRACE_QUANT=1 traces the w8a8 serving variant (ops/quant.py)
+    model = build_default_model(
+        dtype=jnp.bfloat16,
+        quantized=os.environ.get("TAIR_TRACE_QUANT", "0") == "1",
+    )
     params = model.init(jax.random.PRNGKey(0), latent_hw=8)
     params = cast_params_for_inference(params)
     lq = jax.random.uniform(jax.random.PRNGKey(1), (b, 512, 512, 3))
