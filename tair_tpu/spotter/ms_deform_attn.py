@@ -236,7 +236,11 @@ def ms_deform_attn_core_flat(
 
     idx = jnp.stack(rows, axis=-1)    # [B, Q, H, P, L*4]
     wgt = jnp.stack(wgts, axis=-1)    # [B, Q, H, P, L*4]
-    g = jnp.take(v2d, idx.reshape(-1), axis=0)
+    # indices are in-bounds by construction (clipped y/x, exact bh offsets):
+    # mode="clip" skips jnp.take's default fill path, whose out-of-bounds
+    # select materializes as a full extra pass over the gathered tensor
+    # (measured 95 ms/img across the decoder cross-attns, round-2 trace)
+    g = jnp.take(v2d, idx.reshape(-1), axis=0, mode="clip")
     g = g.reshape(b, q, h, n_points, n_levels * 4, d)
     out = jnp.einsum(
         "bqhpcd,bqhpc->bqhd", g, wgt, preferred_element_type=jnp.float32
@@ -267,6 +271,41 @@ def patchify_value(
         pieces.append(
             jnp.concatenate([vl, v01, v10, v11], -1).reshape(b, h, hl * wl, 4 * d)
         )
+    return jnp.concatenate(pieces, 2).reshape(b * h * s, 4 * d)
+
+
+def patchify_value_roll(
+    value: jnp.ndarray,                 # [B, S, H, D]
+    spatial_shapes: Sequence[Tuple[int, int]],
+) -> jnp.ndarray:                       # [B*H*S, 4*D]
+    """Lane-aligned construction of the same corner-major packed table as
+    `patchify_value`: the x/y-shifted corner copies are static LANE-OFFSET
+    slices of the spatially-flattened [B, H, hl*wl*D] view, so every input
+    read streams full 128-lane tiles. `patchify_value` builds the shifts by
+    slicing the [B, H, hl, wl, D]-shaped view whose D=32 minor dim is
+    lane-padded 4x on TPU — its pack fusions read ~4x the bytes and cost
+    187 ms/img across the 18 msda modules (round-2 op trace).
+
+    Positions whose packed row can never be gathered (x == wl-1 or
+    y == hl-1: patch starts are clipped to wl-2/hl-2 by every core) hold
+    wrapped neighbors instead of zeros — bit-identical outputs for every
+    reachable row, parity-tested vs the oracle."""
+    b, s, h, d = value.shape
+    vt = value.transpose(0, 2, 1, 3)  # [B, H, S, D]
+    pieces = []
+    start = 0
+    for (hl, wl) in spatial_shapes:
+        n = hl * wl
+        z = vt[:, :, start : start + n].reshape(b, h, n * d)
+        start += n
+        zpad = jnp.concatenate(
+            [z, jnp.zeros((b, h, (wl + 1) * d), z.dtype)], -1
+        )
+        corners = [z.reshape(b, h, n, d)] + [
+            zpad[:, :, k : k + n * d].reshape(b, h, n, d)
+            for k in (d, wl * d, (wl + 1) * d)  # (0,1), (1,0), (1,1)
+        ]
+        pieces.append(jnp.concatenate(corners, -1))
     return jnp.concatenate(pieces, 2).reshape(b * h * s, 4 * d)
 
 
@@ -339,6 +378,8 @@ def ms_deform_attn_core_flatpatch(
         vp = patchify_value_pallas(value, spatial_shapes)
     elif patchify == "conv":
         vp = patchify_value_conv(value, spatial_shapes)
+    elif patchify == "roll":
+        vp = patchify_value_roll(value, spatial_shapes)
     else:
         vp = patchify_value(value, spatial_shapes)
 
@@ -406,7 +447,8 @@ def ms_deform_attn_core_flatpatch(
 
     idx = jnp.stack(rows, axis=-1)    # [B, Q, H, P, L]
     wgt = jnp.stack(wgts, axis=-2)    # [B, Q, H, P, L, 4]
-    g = jnp.take(vp, idx.reshape(-1), axis=0)
+    # in-bounds by construction; "clip" skips the fill-mode select pass
+    g = jnp.take(vp, idx.reshape(-1), axis=0, mode="clip")
     cmajor = patchify == "conv"  # lane = c*4+corner vs corner*d+c
     if reduce == "einsum":
         if cmajor:
@@ -475,6 +517,7 @@ def ms_deform_attn_core_flatlanes(
     value_patched: jnp.ndarray | None = None,
     q_chunk: int = 16384,
     reduce: str = "mxu",
+    patchify: str = "concat",
 ) -> jnp.ndarray:                       # [B, Q, H*D]
     """Lane-packed flatpatch core: every per-sample-point tensor keeps the
     (head, level, point) axis folded to exactly H*L*P lanes (128 at TESTR
@@ -501,7 +544,12 @@ def ms_deform_attn_core_flatlanes(
     start = jnp.asarray(c["start"])
     h_vec = jnp.asarray(c["h"])
 
-    vp = patchify_value(value, spatial_shapes) if value_patched is None else value_patched
+    if value_patched is not None:
+        vp = value_patched
+    elif patchify == "roll":
+        vp = patchify_value_roll(value, spatial_shapes)
+    else:
+        vp = patchify_value(value, spatial_shapes)
 
     if q > q_chunk:
         pad = (-q) % q_chunk
@@ -564,7 +612,11 @@ def ms_deform_attn_core_flatlanes(
         + sx.astype(jnp.int32)
     )  # [B, Q, lanes]
 
-    g = jnp.take(vp, rows.reshape(-1), axis=0)     # [B*Q*lanes, 4D]
+    # in-bounds by construction (sy/sx clipped to the patch-start range,
+    # bh/start offsets exact); "clip" skips jnp.take's fill-mode select,
+    # which costs a full extra pass over the gathered rows (95 ms/img
+    # across the 12 decoder cross-attns in the round-2 op trace)
+    g = jnp.take(vp, rows.reshape(-1), axis=0, mode="clip")  # [B*Q*lanes, 4D]
     k = L * p
 
     if reduce in ("pallas", "pallas_interpret"):
@@ -701,6 +753,10 @@ class MSDeformAttn(nn.Module):
     # interpret mode, which "pallas_interpret" selects explicitly for
     # tests). Measured on v5e: see docs/PERFORMANCE.md round-2 table.
     reduce_mode: str = "auto"
+    # packed-table construction: "roll" (lane-aligned static-slice shifts)
+    # vs "concat" (the round-1 D-minor pad/concat, 4x lane-padded reads) vs
+    # "conv"/"pallas" (measured negative, kept). See patchify_value_roll.
+    patchify: str = "concat"
     q_chunk: int = 2048
 
     @nn.compact
@@ -783,7 +839,7 @@ class MSDeformAttn(nn.Module):
                 reduce = "mxu"
             out = ms_deform_attn_core_flatlanes(
                 value, spatial_shapes, locx, locy, attn_p,
-                q_chunk=self.q_chunk, reduce=reduce,
+                q_chunk=self.q_chunk, reduce=reduce, patchify=self.patchify,
             )
             return nn.Dense(
                 self.d_model, dtype=self.dtype, param_dtype=jnp.float32,

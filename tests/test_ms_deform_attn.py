@@ -333,3 +333,57 @@ def test_module_flatlanes_matches_flatpatch():
         a = m_fp.apply(params, query, ref, value, shapes)
         bb = m_fl.apply(params, query, ref, value, shapes)
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-5)
+
+
+def test_roll_patchify_matches_core():
+    """patchify='roll' (lane-aligned pack) must match the oracle bit-for-bit
+    on every gatherable row; out-of-range sampling locations exercise the
+    zero-padding weights that mask the roll variant's wrapped border
+    entries."""
+    from tair_tpu.spotter.ms_deform_attn import (
+        ms_deform_attn_core_flatlanes,
+        patchify_value,
+        patchify_value_roll,
+    )
+
+    rs = np.random.RandomState(31)
+    b, h, d, q, p = 2, 4, 8, 12, 4
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(hh * ww for hh, ww in shapes)
+    value = jnp.asarray(rs.randn(b, s, h, d), jnp.float32)
+    locs = jnp.asarray(
+        rs.uniform(-0.2, 1.2, (b, q, h, len(shapes), p, 2)), jnp.float32
+    )
+    attn = jnp.asarray(rs.rand(b, q, h, len(shapes), p), jnp.float32)
+
+    ref = np.asarray(ms_deform_attn_core(value, shapes, locs, attn))
+    lx, ly, aw = _pack_lanes(locs, attn)
+    out = np.asarray(
+        ms_deform_attn_core_flatlanes(
+            value, shapes, lx, ly, aw, patchify="roll"
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # the packed tables agree exactly on every row a core can gather
+    # (patch starts are clipped to wl-2 / hl-2 by construction)
+    tc = np.asarray(patchify_value(value, shapes)).reshape(b, h, s, 4 * d)
+    tr = np.asarray(patchify_value_roll(value, shapes)).reshape(b, h, s, 4 * d)
+    start = 0
+    for (hl, wl) in shapes:
+        grid = np.arange(hl * wl).reshape(hl, wl)
+        reachable = (start + grid[: max(hl - 1, 1), : max(wl - 1, 1)]).ravel()
+        np.testing.assert_array_equal(tc[:, :, reachable], tr[:, :, reachable])
+        start += hl * wl
+
+    # gradients flow through the roll pack identically
+    def f(v, variant):
+        return ms_deform_attn_core_flatlanes(
+            v, shapes, lx, ly, aw, patchify=variant
+        ).sum()
+
+    g_roll = jax.grad(f)(value, "roll")
+    g_concat = jax.grad(f)(value, "concat")
+    np.testing.assert_allclose(
+        np.asarray(g_roll), np.asarray(g_concat), atol=1e-5
+    )
