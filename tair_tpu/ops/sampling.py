@@ -47,7 +47,10 @@ def bilinear_sample_nhwc(
 
     idx = jnp.stack(rows, -1)                       # [B, N, 4]
     wgt = jnp.stack(wgts, -1)                       # [B, N, 4]
-    g = jnp.take(flat, idx.reshape(-1), axis=0)
+    # in-bounds by construction (clipped y/x, exact batch offsets);
+    # "clip" skips jnp.take's fill-mode select — a full extra pass over
+    # the gathered rows (see the msda fill-select finding, PERFORMANCE.md)
+    g = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip")
     g = g.reshape(b, -1, 4, c)
     out = jnp.einsum("bnkc,bnk->bnc", g, wgt.astype(g.dtype))
     return out.reshape((b,) + sample_shape + (c,))

@@ -177,15 +177,18 @@ class EncoderLayer(nn.Module):
             return norm2(src + h).astype(self.dtype)
 
         b, n = sel_idx.shape
-        src_sel = jnp.take_along_axis(src, sel_idx[..., None], axis=1)
+        # sel_idx comes from top_k: in-bounds, so mode="clip" skips the
+        # fill-mode select pass over the gathered tensors
+        src_sel = jnp.take_along_axis(src, sel_idx[..., None], axis=1, mode="clip")
         pos_sel = jnp.take_along_axis(
-            jnp.broadcast_to(pos, src.shape), sel_idx[..., None], axis=1
+            jnp.broadcast_to(pos, src.shape), sel_idx[..., None], axis=1,
+            mode="clip",
         )
         ref_idx = jnp.broadcast_to(
             sel_idx[:, :, None, None],
             (b, n) + reference_points.shape[2:],
         )
-        ref_sel = jnp.take_along_axis(reference_points, ref_idx, axis=1)
+        ref_sel = jnp.take_along_axis(reference_points, ref_idx, axis=1, mode="clip")
         src2 = attn(src_sel + pos_sel, ref_sel, src, spatial_shapes)
         upd = norm1(src_sel + src2).astype(self.dtype)
         h = nn.relu(lin1(upd))
@@ -410,7 +413,7 @@ class DeformableTransformer(nn.Module):
         )
         _, topk_idx = jax.lax.top_k(scores, k)  # [B, K]
         topk_coords_unact = jnp.take_along_axis(
-            enc_coord_unact, topk_idx[..., None], axis=1
+            enc_coord_unact, topk_idx[..., None], axis=1, mode="clip"
         )
         topk_coords_unact = jax.lax.stop_gradient(topk_coords_unact)
         reference_points = jax.nn.sigmoid(topk_coords_unact)  # [B, K, 4]
