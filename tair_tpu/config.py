@@ -49,6 +49,9 @@ class TrainConfig:
     log_tool: Optional[str] = None   # None/jsonl | tensorboard | wandb
     # "hungarian" (exact on-device JV, default) | "hungarian_host" | "greedy"
     matcher: str = "hungarian"
+    # ZeRO-style sharding of params + optimizer moments over the data axis
+    # (parallel/fsdp.py); the reference replicates per DDP rank instead
+    fsdp: bool = False
 
 
 @dataclass

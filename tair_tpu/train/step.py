@@ -109,8 +109,15 @@ def make_train_step(
     ocr_loss_weight: float = 0.0,
     donate: bool = True,
     infer_sharding: bool = False,
+    state_sharding: Optional[Any] = None,
 ):
-    """Build the jitted SPMD train step: (state, batch, rng) -> (state, aux)."""
+    """Build the jitted SPMD train step: (state, batch, rng) -> (state, aux).
+
+    state_sharding: a NamedSharding pytree for the TrainState (e.g. from
+    parallel.fsdp.state_shardings) — pinned as BOTH the input and output
+    sharding so ZeRO-sharded params/moments stay sharded across steps instead
+    of whatever layout GSPMD would infer for the outputs.
+    """
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -127,6 +134,17 @@ def make_train_step(
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             aux,
+        )
+
+    if state_sharding is not None:
+        assert mesh is not None, "state_sharding requires a mesh"
+        data = NamedSharding(mesh, P(DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_sharding, data, repl),
+            out_shardings=(state_sharding, repl),
+            donate_argnums=(0,) if donate else (),
         )
 
     if mesh is None or infer_sharding:

@@ -87,10 +87,22 @@ def main() -> None:
         )
     else:
         spotter_fn = None
+    fsdp_sharding = None
+    if tc.fsdp:
+        from tair_tpu.parallel.fsdp import sharded_fraction, state_shardings
+
+        fsdp_sharding = state_shardings(mesh, state)
+        if is_main_process():
+            _, tot, per_dev = sharded_fraction(mesh, state)
+            print(
+                f"fsdp: state {tot / 2**30:.2f} GiB -> "
+                f"{per_dev / 2**30:.2f} GiB/device"
+            )
     step_fn = make_train_step(
         model, diffusion, tx, mesh=mesh,
         spotter_loss_fn=spotter_fn,
         ocr_loss_weight=tc.ocr_loss_weight,
+        state_sharding=fsdp_sharding,
     )
 
     degrade = jax.jit(
@@ -113,7 +125,12 @@ def main() -> None:
     # resize/method draws would be bit-identical to k_vae/k_t/k_p every step)
     deg_base, step_base = jax.random.split(jax.random.PRNGKey(tc.seed))
     with mesh:
-        state = replicate(mesh, state)
+        if tc.fsdp:
+            from tair_tpu.parallel.fsdp import shard_tree_fsdp
+
+            state = shard_tree_fsdp(mesh, state)
+        else:
+            state = replicate(mesh, state)
         rng_dev = replicate(mesh, step_base)
         t_last = time.time()
         loss_acc = []
