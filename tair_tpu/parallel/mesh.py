@@ -44,8 +44,20 @@ def init_distributed() -> None:
     """
     import os
 
-    if os.environ.get("TAIR_MULTIHOST", "0") == "1":
-        jax.distributed.initialize()
+    # Manual topology override (also how the 2-process integration test
+    # drives this path, tests/test_multihost.py): the no-arg initialize()
+    # only auto-detects SLURM/TPU/GKE clusters, so ad-hoc multi-process
+    # launches pass the coordinator + rank explicitly.
+    kwargs = {}
+    if "TAIR_NUM_PROCESSES" in os.environ:
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["TAIR_NUM_PROCESSES"]),
+            process_id=int(os.environ["TAIR_PROCESS_ID"]),
+        )
+
+    if os.environ.get("TAIR_MULTIHOST", "0") == "1" or kwargs:
+        jax.distributed.initialize(**kwargs)
         return
 
     coordinator = any(
