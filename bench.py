@@ -70,8 +70,13 @@ def main() -> None:
     # w8a8 UNet+ControlNet serving quantization (ops/quant.py; approximation
     # knob like enc_topk/spotter_every — never the headline default)
     quantized = os.environ.get("TAIR_BENCH_QUANT", "0") == "1"
+    # static activation scale (per-tensor abs-max as a compile-time const):
+    # removes the dynamic abs-max reduce that serialized w8a8 against the
+    # weight prefetch. Throughput knob here; quality needs calibration.
+    static_amax = os.environ.get("TAIR_QUANT_STATIC_AMAX")
     model = build_default_model(
-        dtype=jnp.bfloat16, testr_overrides=overrides, quantized=quantized
+        dtype=jnp.bfloat16, testr_overrides=overrides, quantized=quantized,
+        quant_static_amax=float(static_amax) if static_amax else None,
     )
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, latent_hw=8)

@@ -39,6 +39,10 @@ class ControlLDM:
     # dynamically per call, s8 x s8 -> s32 on the MXU. Inference-only
     # approximation knob like spotter_every/enc_topk; default exact.
     quantized: bool = False
+    # static-PTQ activation scale (per-tensor abs-max as a trace-time
+    # constant): removes the dynamic abs-max reduce that serializes w8a8
+    # against the weight prefetch (ops/quant.py). None = dynamic.
+    quant_static_amax: Optional[float] = None
 
     # ---- factory ------------------------------------------------------
 
@@ -52,6 +56,7 @@ class ControlLDM:
         latent_scale_factor: float = 0.18215,
         dtype=jnp.float32,
         quantized: bool = False,
+        quant_static_amax: Optional[float] = None,
     ) -> "ControlLDM":
         return cls(
             unet=UNetModel(unet_cfg, dtype=dtype),
@@ -60,6 +65,7 @@ class ControlLDM:
             clip=CLIPTextTower(clip_cfg, dtype=dtype),
             scale_factor=latent_scale_factor,
             quantized=quantized,
+            quant_static_amax=quant_static_amax,
         )
 
     def init(self, rng: jax.Array, latent_hw: int = 8) -> Params:
@@ -138,7 +144,7 @@ class ControlLDM:
         UNet runs uncontrolled, matching cldm.py:160-179).
         """
         c_txt = cond["c_txt"]
-        with quant.quantized(self.quantized):
+        with quant.quantized(self.quantized, static_act_amax=self.quant_static_amax):
             if "c_img" in cond and cond["c_img"] is not None:
                 control = self.controlnet.apply(
                     {"params": params["controlnet"]}, x_noisy, cond["c_img"], t, c_txt

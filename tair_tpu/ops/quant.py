@@ -48,20 +48,38 @@ def active() -> bool:
     return getattr(_state, "on", False)
 
 
+def static_act_amax() -> float | None:
+    return getattr(_state, "static_amax", None)
+
+
 @contextlib.contextmanager
-def quantized(on: bool = True):
+def quantized(on: bool = True, static_act_amax: float | None = None):
     """Scope (at trace time) within which layers.conv*/dense build w8a8 ops.
 
     Used by UNetModel/ControlNet __call__ so the flag covers exactly their
     submodule tree (Flax compact submodules execute synchronously inside the
     parent's __call__) and nothing else in the fused program.
+
+    static_act_amax: when set, activations quantize with this FIXED
+    per-tensor abs-max (a trace-time constant) instead of the dynamic
+    per-call abs-max reduce. The dynamic reduce is what made w8a8 lose end
+    to end (docs/PERFORMANCE.md): it serializes in front of every conv, so
+    the async weight-prefetch overlap has nothing to hide behind. A static
+    scale removes that dependency entirely — the quantize becomes a pure
+    elementwise pass fusible into the producer. Quality requires
+    calibrating the value on trained weights (standard static-PTQ); like
+    the rest of this module it is a serving approximation knob, never the
+    exact path.
     """
     prev = active()
+    prev_amax = getattr(_state, "static_amax", None)
     _state.on = on
+    _state.static_amax = static_act_amax
     try:
         yield
     finally:
         _state.on = prev
+        _state.static_amax = prev_amax
 
 
 def _quant_weight(w: jnp.ndarray, reduce_axes) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -78,8 +96,19 @@ def _quant_weight(w: jnp.ndarray, reduce_axes) -> tuple[jnp.ndarray, jnp.ndarray
 
 
 def _quant_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-tensor dynamic symmetric int8 for the activation."""
+    """Per-tensor symmetric int8 for the activation.
+
+    Dynamic abs-max by default; a static scale (trace-time constant, needs
+    the clip the dynamic path gets for free) when the quantized() scope set
+    one — see the scope docstring for why that matters for throughput.
+    """
     xf = x.astype(jnp.float32)
+    amax_const = static_act_amax()
+    if amax_const is not None:
+        # same f32 division as the dynamic path (bit-parity at equal amax)
+        scale = jnp.float32(amax_const) / 127.0
+        x8 = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
+        return x8, scale
     amax = jnp.max(jnp.abs(xf))
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     x8 = jnp.round(xf / scale).astype(jnp.int8)

@@ -388,14 +388,17 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
 
 
 def build_default_model(
-    dtype=jnp.bfloat16, testr_overrides=None, quantized=False
+    dtype=jnp.bfloat16, testr_overrides=None, quantized=False,
+    quant_static_amax=None,
 ) -> TeReDiff:
     """Production TAIR geometry (SD-2.1 + SwinIR-TAIR).
 
     testr_overrides: optional dict of TESTRConfig field overrides (e.g.
     {"use_checkpoint": True, "enc_msda_q_chunk": 2048} for memory-bound
     training). quantized=True enables the w8a8 UNet+ControlNet serving
-    path (ops/quant.py; inference-only approximation knob)."""
+    path (ops/quant.py; inference-only approximation knob);
+    quant_static_amax fixes the activation scale (static PTQ — removes the
+    dynamic abs-max reduce, see ops/quant.py)."""
     from .models.clip import CLIPTextConfig
     from .models.swinir import SwinIRConfig
     from .models.unet import UNetConfig
@@ -407,6 +410,7 @@ def build_default_model(
         clip_cfg=CLIPTextConfig(),
         dtype=dtype,
         quantized=quantized,
+        quant_static_amax=quant_static_amax,
     )
     return TeReDiff.create(
         cldm=cldm,

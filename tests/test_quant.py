@@ -114,3 +114,52 @@ def test_exact_path_bit_identical_when_off():
     )
     _, feats2 = exact2.apply(params, x, t, cond)
     np.testing.assert_array_equal(np.asarray(feats0[-1]), np.asarray(feats2[-1]))
+
+
+def test_static_act_scale_matches_dynamic_at_true_amax():
+    # when the static per-tensor amax equals the actual one, the static
+    # path must reproduce the dynamic quantization bit-for-bit
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 64))
+    dn = (((1,), (0,)), ((), ()))
+    dyn = quant.w8a8_dot_general(x, w, dn)
+    true_amax = float(jnp.max(jnp.abs(x)))
+    with quant.quantized(True, static_act_amax=true_amax):
+        static = quant.w8a8_dot_general(x, w, dn)
+    np.testing.assert_array_equal(np.asarray(dyn), np.asarray(static))
+
+
+def test_static_act_scale_clips_out_of_range():
+    # values beyond the calibrated amax must saturate (the dynamic path
+    # never sees out-of-range values; the static one must clip, not wrap)
+    x = jnp.asarray([[100.0, -100.0, 1.0]])
+    w = jnp.eye(3)
+    dn = (((1,), (0,)), ((), ()))
+    with quant.quantized(True, static_act_amax=1.0):
+        y = np.asarray(quant.w8a8_dot_general(x, w, dn))
+    scale = 1.0 / 127.0
+    np.testing.assert_allclose(y[0], [127 * scale, -127 * scale, 127 * scale],
+                               rtol=1e-6)
+
+
+def test_static_scope_nesting_restores():
+    assert quant.static_act_amax() is None
+    with quant.quantized(True, static_act_amax=4.0):
+        assert quant.static_act_amax() == 4.0
+        with quant.quantized(True):
+            assert quant.static_act_amax() is None
+        assert quant.static_act_amax() == 4.0
+    assert quant.static_act_amax() is None
+    assert not quant.active()
+
+
+def test_cldm_static_quant_forward_finite():
+    q = ControlLDM.create(
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, clip_cfg=TINY_CLIP,
+        dtype=jnp.float32, quantized=True, quant_static_amax=8.0,
+    )
+    params = q.init(jax.random.PRNGKey(0))
+    x, cond, t = _inputs(q)
+    _, feats = q.apply(params, x, t, cond)
+    assert np.isfinite(np.asarray(feats[-1])).all()
+    assert not quant.active() and quant.static_act_amax() is None
