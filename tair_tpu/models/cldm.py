@@ -41,8 +41,10 @@ class ControlLDM:
     quantized: bool = False
     # static-PTQ activation scale (per-tensor abs-max as a trace-time
     # constant): removes the dynamic abs-max reduce that serializes w8a8
-    # against the weight prefetch (ops/quant.py). None = dynamic.
-    quant_static_amax: Optional[float] = None
+    # against the weight prefetch (ops/quant.py). One float = every site;
+    # a tuple = per-site values in execution order, produced by
+    # calibrate_quant() below. None = dynamic.
+    quant_static_amax: Optional[Union[float, Tuple[float, ...]]] = None
 
     # ---- factory ------------------------------------------------------
 
@@ -127,6 +129,39 @@ class ControlLDM:
             c_txt=self.clip_encode(params, texts),
             c_img=self.vae_encode(params, cond_img * 2.0 - 1.0, sample=False),
         )
+
+    def calibrate_quant(
+        self,
+        params: Params,
+        x_noisy: jnp.ndarray,
+        t: jnp.ndarray,
+        cond: Dict[str, jnp.ndarray],
+        record: Optional[List[float]] = None,
+    ) -> List[float]:
+        """Static-PTQ calibration pass: per-site activation abs-max.
+
+        Runs the UNet+ControlNet forward EAGERLY with dynamic w8a8 and
+        records each conv/dense site's observed activation abs-max, in the
+        deterministic execution order `quant_static_amax` consumes them in.
+        Call repeatedly (passing the same `record`) over a calibration set
+        to max-merge; feed the result back as
+        `dataclasses.replace(cldm, quant_static_amax=tuple(record))`.
+        """
+        record = [] if record is None else record
+        c_txt = cond["c_txt"]
+        with quant.quantized(True, calibrate=record):
+            if "c_img" in cond and cond["c_img"] is not None:
+                control = self.controlnet.apply(
+                    {"params": params["controlnet"]}, x_noisy, cond["c_img"], t, c_txt
+                )
+                control = tuple(c * s for c, s in zip(control, self.control_scales))
+            else:
+                control = None
+            self.unet.apply(
+                {"params": params["unet"]}, x_noisy, t, c_txt,
+                control=control, extract_features=False,
+            )
+        return record
 
     # ---- main forward ---------------------------------------------------
 

@@ -48,38 +48,61 @@ def active() -> bool:
     return getattr(_state, "on", False)
 
 
-def static_act_amax() -> float | None:
+def static_act_amax():
     return getattr(_state, "static_amax", None)
 
 
 @contextlib.contextmanager
-def quantized(on: bool = True, static_act_amax: float | None = None):
+def quantized(on: bool = True, static_act_amax=None, calibrate: list | None = None):
     """Scope (at trace time) within which layers.conv*/dense build w8a8 ops.
 
     Used by UNetModel/ControlNet __call__ so the flag covers exactly their
     submodule tree (Flax compact submodules execute synchronously inside the
     parent's __call__) and nothing else in the fused program.
 
-    static_act_amax: when set, activations quantize with this FIXED
-    per-tensor abs-max (a trace-time constant) instead of the dynamic
-    per-call abs-max reduce. The dynamic reduce is what made w8a8 lose end
-    to end (docs/PERFORMANCE.md): it serializes in front of every conv, so
-    the async weight-prefetch overlap has nothing to hide behind. A static
+    static_act_amax: when set, activations quantize with a FIXED per-tensor
+    abs-max (a trace-time constant) instead of the dynamic per-call abs-max
+    reduce. The dynamic reduce is what made w8a8 lose end to end
+    (docs/PERFORMANCE.md): it serializes in front of every conv, so the
+    async weight-prefetch overlap has nothing to hide behind. A static
     scale removes that dependency entirely — the quantize becomes a pure
-    elementwise pass fusible into the producer. Quality requires
-    calibrating the value on trained weights (standard static-PTQ); like
-    the rest of this module it is a serving approximation knob, never the
+    elementwise pass fusible into the producer. Accepts either one float
+    applied at every site (crude) or a sequence of per-site values consumed
+    in execution order — calibrate them with `calibrate=` below. Like the
+    rest of this module it is a serving approximation knob, never the
     exact path.
+
+    calibrate: a list to fill with per-site activation abs-max floats
+    (standard static-PTQ calibration). Quantization runs the dynamic path;
+    each conv/dense site appends (or max-merges on repeat passes) its
+    observed abs-max, in the same deterministic execution order the
+    static_act_amax sequence is consumed in. Calibration needs CONCRETE
+    values — run it eagerly (outside jit); a traced run raises with
+    instructions.
     """
     prev = active()
     prev_amax = getattr(_state, "static_amax", None)
+    prev_calib = getattr(_state, "calib", None)
+    prev_site = getattr(_state, "site", 0)
+    if calibrate is not None and static_act_amax is not None:
+        raise ValueError("calibrate and static_act_amax are mutually exclusive")
     _state.on = on
     _state.static_amax = static_act_amax
+    _state.calib = calibrate
+    _state.site = 0
     try:
         yield
     finally:
         _state.on = prev
         _state.static_amax = prev_amax
+        _state.calib = prev_calib
+        _state.site = prev_site
+
+
+def _next_site() -> int:
+    i = getattr(_state, "site", 0)
+    _state.site = i + 1
+    return i
 
 
 def _quant_weight(w: jnp.ndarray, reduce_axes) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -105,11 +128,37 @@ def _quant_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     xf = x.astype(jnp.float32)
     amax_const = static_act_amax()
     if amax_const is not None:
-        # same f32 division as the dynamic path (bit-parity at equal amax)
-        scale = jnp.float32(amax_const) / 127.0
+        if not isinstance(amax_const, (int, float)):
+            site = _next_site()
+            try:
+                amax_const = float(amax_const[site])
+            except IndexError:
+                raise ValueError(
+                    f"static_act_amax has {len(amax_const)} entries but the "
+                    f"program reached quant site {site} — calibrate with the "
+                    "same model config (quant.quantized(calibrate=...))"
+                ) from None
+        # same f32 division as the dynamic path (bit-parity at equal amax),
+        # including its amax==0 -> scale 1.0 guard
+        scale = jnp.float32(amax_const) / 127.0 if amax_const > 0 else jnp.float32(1.0)
         x8 = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
         return x8, scale
     amax = jnp.max(jnp.abs(xf))
+    calib = getattr(_state, "calib", None)
+    if calib is not None:
+        site = _next_site()
+        try:
+            observed = float(amax)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            raise RuntimeError(
+                "static-PTQ calibration needs concrete activations — run the "
+                "forward eagerly (outside jit) inside quantized(calibrate=...)"
+            ) from None
+        if site < len(calib):
+            calib[site] = max(calib[site], observed)  # max-merge repeat passes
+        else:
+            calib.append(observed)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     x8 = jnp.round(xf / scale).astype(jnp.int8)
     return x8, scale

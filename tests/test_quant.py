@@ -163,3 +163,53 @@ def test_cldm_static_quant_forward_finite():
     _, feats = q.apply(params, x, t, cond)
     assert np.isfinite(np.asarray(feats[-1])).all()
     assert not quant.active() and quant.static_act_amax() is None
+
+
+def test_calibrated_per_site_scales_match_dynamic_exactly():
+    # calibration records each site's dynamic amax on this input; replaying
+    # them as per-site static scales must reproduce the dynamic forward
+    # bit-for-bit on the same input
+    import dataclasses
+
+    _, q = _models()
+    params = q.init(jax.random.PRNGKey(0))
+    x, cond, t = _inputs(q)
+    _, feats_dyn = q.apply(params, x, t, cond)
+
+    record = q.calibrate_quant(params, x, t, cond)
+    assert len(record) > 10  # every UNet+ControlNet conv/dense site
+    qs = dataclasses.replace(q, quant_static_amax=tuple(record))
+    _, feats_static = qs.apply(params, x, t, cond)
+    np.testing.assert_array_equal(
+        np.asarray(feats_dyn[-1]), np.asarray(feats_static[-1])
+    )
+    # repeat calibration max-merges in place, not append
+    again = q.calibrate_quant(params, x, t, cond, record=record)
+    assert again is record and len(again) == len(record)
+
+
+def test_per_site_count_mismatch_raises():
+    import dataclasses
+    import pytest
+
+    _, q = _models()
+    params = q.init(jax.random.PRNGKey(0))
+    x, cond, t = _inputs(q)
+    qs = dataclasses.replace(q, quant_static_amax=(1.0, 2.0))
+    with pytest.raises(ValueError, match="quant site"):
+        qs.apply(params, x, t, cond)
+
+
+def test_calibration_under_jit_raises_clearly():
+    import pytest
+
+    w = jnp.eye(4)
+    x = jnp.ones((2, 4))
+    dn = (((1,), (0,)), ((), ()))
+
+    def f(x):
+        return quant.w8a8_dot_general(x, w, dn)
+
+    with quant.quantized(True, calibrate=[]):
+        with pytest.raises(RuntimeError, match="eagerly"):
+            jax.jit(f)(x)
