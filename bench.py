@@ -74,9 +74,14 @@ def main() -> None:
     # removes the dynamic abs-max reduce that serialized w8a8 against the
     # weight prefetch. Throughput knob here; quality needs calibration.
     static_amax = os.environ.get("TAIR_QUANT_STATIC_AMAX")
+    # selective w8a8: quantize only sites with weight bytes >= ratio x
+    # activation bytes (the weight-DMA-bound inner blocks), keep the rest
+    # bf16 — see ops/quant.selective
+    min_ratio = os.environ.get("TAIR_QUANT_MIN_RATIO")
     model = build_default_model(
         dtype=jnp.bfloat16, testr_overrides=overrides, quantized=quantized,
         quant_static_amax=float(static_amax) if static_amax else None,
+        quant_min_ratio=float(min_ratio) if min_ratio else None,
     )
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, latent_hw=8)
@@ -147,7 +152,12 @@ def main() -> None:
                     "terediff_512px_images_per_sec_per_chip_50steps_with_ocr_loop"
                     + (f"_spotter_every{spotter_every}" if spotter_every != 1 else "")
                     + (f"_enc_topk{enc_topk}" if enc_topk else "")
-                    + ("_w8a8" if quantized else "")
+                    + (
+                        "_w8a8"
+                        + ("_static" if static_amax else "")
+                        + (f"_minratio{min_ratio}" if min_ratio else "")
+                        if quantized else ""
+                    )
                 ),
                 "value": round(img_per_s_per_chip, 5),
                 "unit": "img/s/chip",

@@ -45,6 +45,11 @@ class ControlLDM:
     # a tuple = per-site values in execution order, produced by
     # calibrate_quant() below. None = dynamic.
     quant_static_amax: Optional[Union[float, Tuple[float, ...]]] = None
+    # selective w8a8 (ops/quant.selective): quantize only sites with
+    # weight.size >= ratio * activation.size — captures the halved
+    # weight-stream bytes on the big inner-block convs without paying the
+    # activation quantize passes on the 64^2 outer blocks. None = all sites.
+    quant_min_ratio: Optional[float] = None
 
     # ---- factory ------------------------------------------------------
 
@@ -59,6 +64,7 @@ class ControlLDM:
         dtype=jnp.float32,
         quantized: bool = False,
         quant_static_amax: Optional[float] = None,
+        quant_min_ratio: Optional[float] = None,
     ) -> "ControlLDM":
         return cls(
             unet=UNetModel(unet_cfg, dtype=dtype),
@@ -68,6 +74,7 @@ class ControlLDM:
             scale_factor=latent_scale_factor,
             quantized=quantized,
             quant_static_amax=quant_static_amax,
+            quant_min_ratio=quant_min_ratio,
         )
 
     def init(self, rng: jax.Array, latent_hw: int = 8) -> Params:
@@ -149,7 +156,8 @@ class ControlLDM:
         """
         record = [] if record is None else record
         c_txt = cond["c_txt"]
-        with quant.quantized(True, calibrate=record):
+        with quant.selective(self.quant_min_ratio), \
+             quant.quantized(True, calibrate=record):
             if "c_img" in cond and cond["c_img"] is not None:
                 control = self.controlnet.apply(
                     {"params": params["controlnet"]}, x_noisy, cond["c_img"], t, c_txt
@@ -179,7 +187,8 @@ class ControlLDM:
         UNet runs uncontrolled, matching cldm.py:160-179).
         """
         c_txt = cond["c_txt"]
-        with quant.quantized(self.quantized, static_act_amax=self.quant_static_amax):
+        with quant.selective(self.quant_min_ratio), \
+             quant.quantized(self.quantized, static_act_amax=self.quant_static_amax):
             if "c_img" in cond and cond["c_img"] is not None:
                 control = self.controlnet.apply(
                     {"params": params["controlnet"]}, x_noisy, cond["c_img"], t, c_txt

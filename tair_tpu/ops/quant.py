@@ -105,6 +105,39 @@ def _next_site() -> int:
     return i
 
 
+def min_weight_act_ratio() -> float | None:
+    return getattr(_state, "min_ratio", None)
+
+
+@contextlib.contextmanager
+def selective(min_ratio: float | None):
+    """Quantize only sites where weight bytes dominate activation bytes.
+
+    w8a8's measured economics on the fused loop (docs/PERFORMANCE.md): the
+    win is halved WEIGHT stream bytes, the cost is extra quantize/rescale
+    HBM passes over the ACTIVATION. Both are known statically per site, so
+    gate per site: a conv/dense quantizes only when
+    weight.size >= min_ratio * activation.size — the inner low-resolution
+    UNet blocks (huge 1280-ch weights, tiny 8^2/16^2 activations) qualify,
+    the outer 64^2 blocks (where the activation passes lose) stay bf16.
+    Trace-time constant folding; None disables the gate (quantize all).
+    Sites skipped by the gate consume neither a calibration slot nor a
+    static_act_amax entry (the site counter only advances for quantized
+    sites), so calibrate under the same selective() scope you serve with.
+    """
+    prev = getattr(_state, "min_ratio", None)
+    _state.min_ratio = min_ratio
+    try:
+        yield
+    finally:
+        _state.min_ratio = prev
+
+
+def _selective_skip(x: jnp.ndarray, w: jnp.ndarray) -> bool:
+    r = min_weight_act_ratio()
+    return r is not None and w.size < r * x.size
+
+
 def _quant_weight(w: jnp.ndarray, reduce_axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-channel symmetric int8: returns (w8, scale[out]).
 
@@ -174,6 +207,9 @@ def w8a8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     assert rhs.ndim == 2 and tuple(rhs_c) == (0,) and batch == ((), ()), (
         "w8a8_dot_general supports the nn.Dense layout only"
     )
+    if _selective_skip(lhs, rhs):
+        return lax.dot_general(lhs, rhs, dimension_numbers, precision=precision,
+                               preferred_element_type=preferred_element_type)
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
     w8, wscale = _quant_weight(rhs, reduce_axes=(0,))
     x8, xscale = _quant_act(lhs)
@@ -193,6 +229,14 @@ def w8a8_conv(lhs, rhs, window_strides, padding, lhs_dilation=None,
     NHWC/HWIO only (the repo's layout); per-output-channel weight scales.
     """
     assert feature_group_count == 1 and batch_group_count == 1
+    if _selective_skip(lhs, rhs):
+        return lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding,
+            lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
     # kernel [*window, in, out] -> reduce all but the trailing out axis
     w8, wscale = _quant_weight(rhs, reduce_axes=tuple(range(rhs.ndim - 1)))

@@ -389,7 +389,7 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
 
 def build_default_model(
     dtype=jnp.bfloat16, testr_overrides=None, quantized=False,
-    quant_static_amax=None,
+    quant_static_amax=None, quant_min_ratio=None,
 ) -> TeReDiff:
     """Production TAIR geometry (SD-2.1 + SwinIR-TAIR).
 
@@ -398,7 +398,8 @@ def build_default_model(
     training). quantized=True enables the w8a8 UNet+ControlNet serving
     path (ops/quant.py; inference-only approximation knob);
     quant_static_amax fixes the activation scale (static PTQ — removes the
-    dynamic abs-max reduce, see ops/quant.py)."""
+    dynamic abs-max reduce); quant_min_ratio quantizes only
+    weight-dominated sites (selective w8a8) — see ops/quant.py."""
     from .models.clip import CLIPTextConfig
     from .models.swinir import SwinIRConfig
     from .models.unet import UNetConfig
@@ -411,6 +412,7 @@ def build_default_model(
         dtype=dtype,
         quantized=quantized,
         quant_static_amax=quant_static_amax,
+        quant_min_ratio=quant_min_ratio,
     )
     return TeReDiff.create(
         cldm=cldm,

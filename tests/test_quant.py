@@ -213,3 +213,36 @@ def test_calibration_under_jit_raises_clearly():
     with quant.quantized(True, calibrate=[]):
         with pytest.raises(RuntimeError, match="eagerly"):
             jax.jit(f)(x)
+
+
+def test_selective_gate_skips_activation_dominated_sites():
+    # weight 64x32 (2048 elems) vs activation 16x64 (1024): ratio 2.0
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 64))
+    dn = (((1,), (0,)), ((), ()))
+    exact = jax.lax.dot_general(x, w, dn)
+    with quant.selective(min_ratio=4.0):  # 2048 < 4*1024 -> skip (exact)
+        skipped = quant.w8a8_dot_general(x, w, dn)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(skipped))
+    with quant.selective(min_ratio=1.0):  # 2048 >= 1024 -> quantized
+        quantized = quant.w8a8_dot_general(x, w, dn)
+    assert np.abs(np.asarray(exact - quantized)).max() > 0
+
+
+def test_selective_calibration_site_count_matches_serving():
+    # calibrating under the same selective() scope must produce exactly the
+    # per-site list the selective serving path consumes
+    import dataclasses
+
+    _, q = _models()
+    q = dataclasses.replace(q, quant_min_ratio=2.0)
+    params = q.init(jax.random.PRNGKey(0))
+    x, cond, t = _inputs(q)
+    record = q.calibrate_quant(params, x, t, cond)
+    full = dataclasses.replace(q, quant_min_ratio=None).calibrate_quant(
+        params, x, t, cond
+    )
+    assert 0 < len(record) < len(full)  # the gate skips real sites
+    qs = dataclasses.replace(q, quant_static_amax=tuple(record))
+    _, feats = qs.apply(params, x, t, cond)
+    assert np.isfinite(np.asarray(feats[-1])).all()
