@@ -50,6 +50,14 @@ def categorize(n):
         return "msda row gather"
     if "convert_reduce" in low or ("9472,8,128" in n and "fusion" in low):
         return "msda reduce/convert"
+    if "kind=kcustom" in low and "s32[" in low:
+        # dynamic-gather custom fusions (decoder cross-attn row takes at
+        # Q=1600/2500: s32 row indices into the [75776,128] packed table)
+        return "msda row gather"
+    if low.startswith("%maximum_maximum_fusion") and "9472,128" in n:
+        # the patchify pack build (one [B,H,S,4D] table per msda module;
+        # XLA names the fusion after its maximum root)
+        return "msda pack"
     if low.startswith(("%convolution", "%conv")) or "conv" in low.split(".")[0]:
         return "convolution"
     if low.startswith(("%dot", "%gemm")) or "dot" in low.split(".")[0]:

@@ -745,16 +745,19 @@ class MSDeformAttn(nn.Module):
     # build is not amortized there), "flatpatch" wins at encoder shapes
     # (Q=S~9.5k) where the unpadded 128-lane rows cut gather traffic 4x.
     core: str = "flat"
-    # corner reduction of the flatlanes core: "pallas" (single-pass VMEM
-    # kernel, ops/msda_reduce.py — no g-sized w_lanes / g*w HBM round-trips)
-    # vs "mxu" (spread/segment matmuls, the best pure-XLA formulation) vs
-    # "fused" / "mask" (documented negative results). "auto" resolves to
-    # "pallas" on TPU and "mxu" elsewhere (the kernel runs on CPU only in
-    # interpret mode, which "pallas_interpret" selects explicitly for
-    # tests). Measured on v5e: see docs/PERFORMANCE.md round-2 table.
+    # corner reduction of the flatlanes core: "mxu" (spread/segment matmuls,
+    # the best pure-XLA formulation) vs "pallas" (single-pass VMEM kernel,
+    # ops/msda_reduce.py — measured SLOWER on v5e: 8.36 vs 5.13 ms/module)
+    # vs "fused" / "mask" (documented negative results). "auto" resolves to
+    # "mxu" everywhere until a Pallas variant measures faster on the chip
+    # ("pallas_interpret" runs the kernel in interpret mode for CPU tests).
+    # Measured on v5e: see docs/PERFORMANCE.md round-2 table.
     reduce_mode: str = "auto"
-    # packed-table construction: "roll" (lane-aligned static-slice shifts)
-    # vs "concat" (the round-1 D-minor pad/concat, 4x lane-padded reads) vs
+    # packed-table construction: "concat" (the D-minor pad/concat; DEFAULT)
+    # vs "roll" (lane-aligned static-slice shifts: wins ISOLATED — 0.282 vs
+    # 0.358 ms/pack, floor 0.243, scripts/pack_only_ab.py — but LOSES the
+    # full loop, 0.394 vs 0.402 img/s/chip median-of-5: the flat [B,H,S*D]
+    # view relayouts its producer/consumers by more than the pack saves) vs
     # "conv"/"pallas" (measured negative, kept). See patchify_value_roll.
     patchify: str = "concat"
     q_chunk: int = 2048
