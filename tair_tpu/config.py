@@ -36,6 +36,9 @@ class TrainConfig:
     train_steps: int = 100_000
     batch_size: int = 3
     learning_rate: float = 1e-4
+    # micro-batches averaged per optimizer update (optax.MultiSteps);
+    # train_steps counts micro-steps, so updates = train_steps // grad_accum
+    grad_accum: int = 1
     ckpt_every: int = 25_000
     log_loss_every: int = 50
     log_image_every: int = 500

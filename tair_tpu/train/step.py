@@ -35,20 +35,33 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_optimizer(params: Params, stage: str, learning_rate: float) -> optax.GradientTransformation:
-    """AdamW over the stage's trainable subset; frozen leaves get zero updates."""
+def make_optimizer(
+    params: Params, stage: str, learning_rate: float, grad_accum: int = 1
+) -> optax.GradientTransformation:
+    """AdamW over the stage's trainable subset; frozen leaves get zero updates.
+
+    grad_accum > 1 wraps the whole transformation in optax.MultiSteps: each
+    train-step call contributes one micro-batch gradient, and the AdamW
+    update fires once every `grad_accum` calls on the micro-batch MEAN —
+    large effective batches without the HBM for large per-step batches.
+    (Beyond the reference, which has no accumulation — train.py:56,181 —
+    and whose effective batch is fixed at bs_per_rank x world_size.)
+    """
     mask = trainable_mask(params, stage)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": optax.adamw(learning_rate), "freeze": optax.set_to_zero()},
         labels,
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def create_train_state(
-    params: Params, stage: str, learning_rate: float
+    params: Params, stage: str, learning_rate: float, grad_accum: int = 1
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    tx = make_optimizer(params, stage, learning_rate)
+    tx = make_optimizer(params, stage, learning_rate, grad_accum=grad_accum)
     return (
         TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)),
         tx,

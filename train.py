@@ -69,7 +69,9 @@ def main() -> None:
     if is_main_process():
         print(f"total params: {n_params/1e6:.1f}M")
 
-    state, tx = create_train_state(params, tc.stage, tc.learning_rate)
+    state, tx = create_train_state(
+        params, tc.stage, tc.learning_rate, grad_accum=tc.grad_accum
+    )
     del params
 
     ckpt_dir = os.path.join(tc.exp_dir, "checkpoints")
