@@ -421,12 +421,16 @@ def build_default_model(
     )
 
 
-def build_dryrun_model(dtype=jnp.float32) -> TeReDiff:
+def build_dryrun_model(dtype=jnp.float32, enc_sp_axis=None) -> TeReDiff:
     """Minimal geometry for the driver's multi-chip dry run: same topology
     class (SwinIR -> VAE/CLIP -> ControlNet+UNet w/ feature taps -> TESTR)
     but only two UNet levels and two feature taps, so the dp x tp GSPMD
     compile stays well under the driver's time budget while still
-    exercising every sharding pattern of the production step."""
+    exercising every sharding pattern of the production step.
+
+    enc_sp_axis: mesh axis for sequence-parallel token sharding of the
+    spotter encoder (TESTRConfig.enc_sp_axis) so the dry run exercises the
+    SP pattern alongside dp x tp."""
     from .models.clip import CLIPTextConfig
     from .models.swinir import SwinIRConfig
     from .models.unet import UNetConfig
@@ -460,6 +464,7 @@ def build_dryrun_model(dtype=jnp.float32) -> TeReDiff:
             num_chars=25,
             num_feature_levels=2,
             in_channels=(64, 32),
+            enc_sp_axis=enc_sp_axis,
         ),
         dtype=dtype,
     )

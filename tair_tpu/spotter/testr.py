@@ -16,7 +16,7 @@ host-side text decode happens in postprocess.decode_recs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,10 @@ class TESTRConfig:
     # tokens per encoder layer; serving knob like spotter_every — see
     # DeformableTransformer.enc_topk and docs/PERFORMANCE.md
     enc_topk: int = 0
+    # sequence-parallel encoder: mesh axis name to shard the token axis over
+    # under a multi-chip serving mesh (EncoderLayer.sp_axis rationale);
+    # None = no sharding constraints
+    enc_sp_axis: Optional[str] = None
     # remat encoder/decoder layers (training: recompute msda gathers instead
     # of keeping them as autodiff residuals; mirrors UNetConfig.use_checkpoint)
     use_checkpoint: bool = False
@@ -138,6 +142,7 @@ class TESTR(nn.Module):
                 num_proposals=cfg.num_proposals,
                 enc_msda_q_chunk=cfg.enc_msda_q_chunk,
                 enc_topk=cfg.enc_topk,
+                enc_sp_axis=cfg.enc_sp_axis,
                 use_checkpoint=cfg.use_checkpoint,
                 dtype=self.dtype,
                 name="transformer",

@@ -20,12 +20,13 @@ features at inference, and training uses the same static graph).
 from __future__ import annotations
 
 import math
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.sharding import PartitionSpec as P
 
 from .ms_deform_attn import MSDeformAttn
 
@@ -147,6 +148,14 @@ class EncoderLayer(nn.Module):
     # packed-index + MXU-reduce core: 3.74 vs 4.57 ms/layer device time at
     # encoder shapes (scripts/enc_trace.py A/B, v5e 2026-08-17)
     msda_core: str = "flatlanes"
+    # sequence parallelism: mesh axis name to shard the TOKEN axis over.
+    # The msda gather is row-RATE-bound (PERFORMANCE.md), so splitting the
+    # QUERY axis across chips divides the per-chip row count by the axis
+    # size — the right multi-chip axis for this layer, unlike TP head
+    # sharding which only narrows each gathered row. Cost: GSPMD all-gathers
+    # the value table once per layer (~4.6 MB bf16 at production S=9472,
+    # negligible over ICI). None = single-chip semantics, no constraints.
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, sel_idx=None):
@@ -168,13 +177,25 @@ class EncoderLayer(nn.Module):
         lin1 = _dense(self.d_ffn, self.dtype, "linear1")
         lin2 = _dense(self.d_model, self.dtype, "linear2")
 
+        if self.sp_axis:
+            # shard the token axis of [B, S, C]; batch/channel stay
+            # UNCONSTRAINED so dp batch sharding (training) or tp feature
+            # sharding pass through untouched
+            def tok_sharded(x):
+                return jax.lax.with_sharding_constraint(
+                    x, P(P.UNCONSTRAINED, self.sp_axis, P.UNCONSTRAINED)
+                )
+        else:
+            def tok_sharded(x):
+                return x
+
         if sel_idx is None:
-            q = src + pos
-            src2 = attn(q, reference_points, src, spatial_shapes)
-            src = norm1(src + src2).astype(self.dtype)
+            q = tok_sharded(src + pos)
+            src2 = tok_sharded(attn(q, reference_points, src, spatial_shapes))
+            src = tok_sharded(norm1(src + src2).astype(self.dtype))
             h = nn.relu(lin1(src))
             h = lin2(h)
-            return norm2(src + h).astype(self.dtype)
+            return tok_sharded(norm2(src + h).astype(self.dtype))
 
         b, n = sel_idx.shape
         # sel_idx comes from top_k: in-bounds, so mode="clip" skips the
@@ -189,12 +210,12 @@ class EncoderLayer(nn.Module):
             (b, n) + reference_points.shape[2:],
         )
         ref_sel = jnp.take_along_axis(reference_points, ref_idx, axis=1, mode="clip")
-        src2 = attn(src_sel + pos_sel, ref_sel, src, spatial_shapes)
-        upd = norm1(src_sel + src2).astype(self.dtype)
+        src2 = tok_sharded(attn(src_sel + pos_sel, ref_sel, src, spatial_shapes))
+        upd = tok_sharded(norm1(src_sel + src2).astype(self.dtype))
         h = nn.relu(lin1(upd))
         h = lin2(h)
-        upd = norm2(upd + h).astype(self.dtype)
-        return src.at[jnp.arange(b)[:, None], sel_idx].set(upd)
+        upd = tok_sharded(norm2(upd + h).astype(self.dtype))
+        return tok_sharded(src.at[jnp.arange(b)[:, None], sel_idx].set(upd))
 
 
 class CompositeDecoderLayer(nn.Module):
@@ -324,6 +345,12 @@ class DeformableTransformer(nn.Module):
     # scale with the query count, so cost drops ~S/N. Quality impact needs
     # trained weights to quantify; keep 0 for reference-parity runs.
     enc_topk: int = 0
+    # sequence parallelism for the encoder: mesh axis name to shard the
+    # token axis over (see EncoderLayer.sp_axis). The encoder is the restore
+    # loop's measured bottleneck and its gather cost is row-rate-bound, so
+    # this is the axis that actually divides per-chip work under a multi-chip
+    # serving mesh. None = no constraints (single-chip semantics).
+    enc_sp_axis: Optional[str] = None
     # gradient checkpointing per encoder/decoder layer (training memory: the
     # msda gather intermediates are the big residuals; remat recomputes them)
     use_checkpoint: bool = False
@@ -391,6 +418,7 @@ class DeformableTransformer(nn.Module):
             memory = enc_cls(
                 c, self.d_ffn, self.n_levels, self.n_heads, self.enc_n_points,
                 dtype=self.dtype, msda_q_chunk=self.enc_msda_q_chunk,
+                sp_axis=self.enc_sp_axis,
                 name=f"enc_{i}",
             )(memory, pos_flat, ref, spatial_shapes, sel_idx)
 
