@@ -40,9 +40,7 @@ if (
 
     # The parent pytest has already fd-captured stdout, so the child's
     # stream may be invisible in this process's output; tee it to a log.
-    log_path = os.path.join(
-        os.path.dirname(__file__), "..", f"pytest_child.{os.getpid()}.log"
-    )
+    log_path = os.path.join("/tmp", f"pytest_child.{os.getpid()}.log")
     proc = subprocess.Popen(
         [sys.executable, "-m", "pytest"] + sys.argv[1:],
         env=_sanitized_env(),
