@@ -13,11 +13,12 @@ heads, MLP 1152) regresses the quality score from the CLS output.
 
 RECONSTRUCTION STATUS: neither pyiqa nor the google-research/musiq source
 is available in this environment. The compute graph follows the paper's
-architecture description; the state-dict layout accepted by `from_torch`
-is this module's own documented layout (tests/test_musiq.py pins a torch
-mirror to it). Loading the published `musiq_koniq_ckpt.pth` will therefore
-need a key-rename shim written against the real pyiqa layout — and a
-one-image cross-check against pyiqa — before absolute values are trusted
+architecture description; `from_torch` accepts this module's documented
+layout (tests/test_musiq.py pins a torch mirror to it) AND published-style
+layouts through the role-based key-rename shim in weights/musiq_shim.py
+(round-trip-tested in tests/test_musiq_shim.py; unknown namings raise
+listing the unmatched keys). A one-image cross-check against pyiqa is
+still required before absolute values are trusted
 (docs/METRIC_WEIGHTS.md).
 
 TPU notes: each (H, W) traces its own static multi-scale patch grid — no
@@ -280,14 +281,18 @@ class MUSIQMetric:
 
     @classmethod
     def from_torch(cls, path: str, **kw) -> "MUSIQMetric":
-        """path: state dict in THIS module's documented layout (see the
-        RECONSTRUCTION STATUS note — the published pyiqa checkpoint needs a
-        key-rename shim first)."""
+        """path: torch checkpoint in this module's documented layout OR any
+        published-layout state dict covered by the key-rename shim
+        (weights/musiq_shim.py) — e.g. pyiqa's `musiq_koniq_ckpt.pth`
+        naming families. Unrecognized layouts raise with the leftover keys."""
         import torch
 
         sd = torch.load(path, map_location="cpu", weights_only=False)
-        if isinstance(sd, dict) and "state_dict" in sd:
-            sd = sd["state_dict"]
+        if isinstance(sd, dict):
+            for wrapper in ("state_dict", "params", "model"):
+                if wrapper in sd and isinstance(sd[wrapper], dict):
+                    sd = sd[wrapper]
+                    break
         return cls.from_state_dict(sd, **kw)
 
     @classmethod
@@ -297,7 +302,9 @@ class MUSIQMetric:
         default to the paper values (hidden/64 heads; longer sides 384, 224)
         and can be overridden for non-standard models."""
         from ..weights.convert import convert_musiq
+        from ..weights.musiq_shim import shim_musiq_state_dict
 
+        sd = shim_musiq_state_dict(sd)
         sd = {k: np.asarray(v.float().numpy() if hasattr(v, "numpy") else v)
               for k, v in sd.items()}
         hidden = sd["backbone.cls_token"].shape[-1]
