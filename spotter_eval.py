@@ -34,6 +34,13 @@ def main() -> None:
         help="condition the ControlNet on the clean HQ image instead of the "
              "training-time RealESRGAN-degraded LQ",
     )
+    parser.add_argument(
+        "--dump-dir", default=None,
+        help="also write the interchange bundle there: text_results.json "
+             "(COCO format) + det.zip/gt.zip (RRC submission format, as "
+             "consumed by the published benchmark servers and the "
+             "reference's evaluate_method)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -132,6 +139,18 @@ def main() -> None:
                 )
             all_gts.append(gts)
             all_preds.append(preds)
+
+    if args.dump_dir:
+        from tair_tpu.utils.submission import dump_submission
+
+        paths = dump_submission(
+            args.dump_dir, all_preds, list(range(1, len(all_preds) + 1)),
+            gts_per_image=all_gts,
+            confidence_threshold=args.score_threshold,
+        )
+        import sys
+
+        print(f"# submission bundle: {paths}", file=sys.stderr)
 
     scores = evaluate_dataset(all_gts, all_preds)
     import json
