@@ -157,14 +157,22 @@ class NIQEParams:
         return cls(mu=z["mu"], cov=z["cov"])
 
 
+def _safe_cov(feats: np.ndarray) -> np.ndarray:
+    """np.cov collapses to a 0-d array for a single observation; a small
+    val panel (e.g. one 128^2 image = one 96px patch) must still produce a
+    [36,36] matrix (zero covariance)."""
+    if len(feats) < 2:
+        return np.zeros((feats.shape[1], feats.shape[1]))
+    return np.cov(feats, rowvar=False)
+
+
 def fit_niqe_params(
     images: Sequence[np.ndarray], patch: int = 96
 ) -> NIQEParams:
     """Fit the pristine MVG from clean grayscale images ([0,255])."""
     feats = np.concatenate([niqe_features(im, patch) for im in images])
     mu = feats.mean(0)
-    cov = np.cov(feats, rowvar=False)
-    return NIQEParams(mu=mu, cov=cov)
+    return NIQEParams(mu=mu, cov=_safe_cov(feats))
 
 
 def rgb_to_gray255(img: np.ndarray) -> np.ndarray:
@@ -183,7 +191,7 @@ def niqe(
         img = rgb_to_gray255(img)
     feats = niqe_features(img, patch)
     mu_d = feats.mean(0)
-    cov_d = np.cov(feats, rowvar=False) if len(feats) > 1 else np.zeros_like(params.cov)
+    cov_d = _safe_cov(feats)
     diff = params.mu - mu_d
     s = (params.cov + cov_d) / 2.0
     inv = np.linalg.pinv(s)

@@ -218,6 +218,93 @@ def _local_rows(x, n):
     return rows[:n]
 
 
+_VAL_METRIC_CACHE: dict = {}
+
+
+def _aux_val_metrics(cfg, restored, gt01):
+    """Beyond-PSNR/SSIM metrics for the in-loop validation panel, mirroring
+    the reference's 8-metric pyiqa instantiation (train.py:75-82):
+
+    - NIQE always (weightless): scores against the pristine MVG model from
+      `val.niqe_params` when configured, else one fitted on the fly from
+      this batch's GT rows (a relative naturalness tracker — absolute
+      values need the corpus-fitted model, docs/METRIC_WEIGHTS.md);
+    - LPIPS/DISTS/CLIPIQA/MANIQA/MUSIQ whenever their checkpoint paths are
+      configured on `val.*_weights` (graphs are in-repo; weights external).
+
+    Metric constructors are cached per config path so repeated validations
+    reuse the converted weights and jitted graphs."""
+    import jax
+    import numpy as np
+
+    out = {}
+    vc = getattr(cfg, "val", None)
+    restored_h = np.asarray(jax.device_get(restored), np.float32)
+    gt_h = np.asarray(jax.device_get(gt01), np.float32)
+
+    from tair_tpu.utils.niqe import (
+        NIQEParams,
+        fit_niqe_params,
+        niqe,
+        rgb_to_gray255,
+    )
+
+    if min(restored_h.shape[1:3]) >= 96:  # NIQE patch size floor
+        niqe_src = getattr(vc, "niqe_params", None) if vc else None
+        key = ("niqe", niqe_src)
+        if key not in _VAL_METRIC_CACHE:
+            _VAL_METRIC_CACHE[key] = (
+                NIQEParams.load(niqe_src) if niqe_src else None
+            )
+        nparams = _VAL_METRIC_CACHE[key]
+        if nparams is None:
+            nparams = fit_niqe_params([rgb_to_gray255(g) for g in gt_h])
+        out["niqe"] = float(
+            np.mean([niqe(r, nparams) for r in restored_h])
+        )
+
+    if vc is None:
+        return out
+    import jax.numpy as jnp
+
+    def _build(name, path):
+        key = (name, path)
+        if key not in _VAL_METRIC_CACHE:
+            if name == "lpips":
+                from tair_tpu.utils.lpips import LPIPSMetric
+
+                _VAL_METRIC_CACHE[key] = LPIPSMetric.from_torch(*path.split(":"))
+            elif name == "dists":
+                from tair_tpu.utils.dists import DISTSMetric
+
+                _VAL_METRIC_CACHE[key] = DISTSMetric.from_torch(*path.split(":"))
+            elif name == "clipiqa":
+                from tair_tpu.utils.clipiqa import CLIPIQAMetric
+
+                _VAL_METRIC_CACHE[key] = CLIPIQAMetric.from_torch(path)
+            elif name == "maniqa":
+                from tair_tpu.utils.maniqa import MANIQAMetric
+
+                _VAL_METRIC_CACHE[key] = MANIQAMetric.from_torch(path)
+            elif name == "musiq":
+                from tair_tpu.utils.musiq import MUSIQMetric
+
+                _VAL_METRIC_CACHE[key] = MUSIQMetric.from_torch(path)
+        return _VAL_METRIC_CACHE[key]
+
+    r_dev, g_dev = jnp.asarray(restored_h), jnp.asarray(gt_h)
+    for name, full_ref in (("lpips", True), ("dists", True),
+                           ("clipiqa", False), ("maniqa", False),
+                           ("musiq", False)):
+        path = getattr(vc, f"{name}_weights", None)
+        if not path:
+            continue
+        m = _build(name, path)
+        vals = m(r_dev, g_dev) if full_ref else m(r_dev)
+        out[name] = float(np.mean(np.asarray(vals)))
+    return out
+
+
 def run_validation(
     model, params, cfg, gt, lq, tokens, n_images=2, steps=10,
     feat_iterations=(), targets=None, image_dir=None,
@@ -246,6 +333,7 @@ def run_validation(
         "psnr": float(jnp.mean(psnr(restored, gt01))),
         "ssim": float(jnp.mean(ssim(restored, gt01))),
     }
+    metrics.update(_aux_val_metrics(cfg, restored, gt01))
     if image_dir is not None:
         # image panels like the reference's wandb grids (train.py:370-436),
         # saved as PNGs next to the metrics stream
