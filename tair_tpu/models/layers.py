@@ -41,6 +41,34 @@ def timestep_embedding(
     return emb
 
 
+import contextlib
+import contextvars
+
+# Trace-time switch: inside `gn_stats_over_batch()`, every GroupNorm32 pools
+# its statistics over the BATCH axis as well as (H, W, group-channels). Used
+# by the tiled VAE (utils/tilevae.py), where the batch axis holds the tiles
+# of ONE image: pooled stats approximate full-image GroupNorm statistics —
+# the TPU-shaped equivalent of the reference's cross-tile GroupNorm
+# estimation (/root/reference/terediff/utils/tilevae/tilevae.py:307-579),
+# whose absence is measurable as a per-tile brightness/contrast shift
+# (tests/test_tilevae_seam.py).
+_GN_STATS_OVER_BATCH: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "gn_stats_over_batch", default=False
+)
+
+
+@contextlib.contextmanager
+def gn_stats_over_batch():
+    """Within this context (at TRACE time), GroupNorm32 statistics pool over
+    the batch axis. Only meaningful when the batch rows are tiles of one
+    image; do not wrap ordinary batched calls."""
+    token = _GN_STATS_OVER_BATCH.set(True)
+    try:
+        yield
+    finally:
+        _GN_STATS_OVER_BATCH.reset(token)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm always computed in float32 (TPU VPU), cast back to input dtype."""
 
@@ -55,13 +83,28 @@ class GroupNorm32(nn.Module):
         groups = self.num_groups
         while x.shape[-1] % groups != 0:
             groups //= 2
-        x = nn.GroupNorm(
+        x32 = x.astype(jnp.float32)
+        gn = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return x.astype(orig_dtype)
+        )
+        if not _GN_STATS_OVER_BATCH.get():
+            return gn(x32).astype(orig_dtype)
+        # cross-tile path: create/read the SAME params as the standard path
+        # (checkpoint-compatible), but normalize with stats pooled over
+        # (batch, H, W, channels-within-group)
+        if self.is_initializing():
+            gn(x32)  # create params
+        p = self.variables["params"][gn.name]
+        b, h, w, c = x32.shape
+        xg = x32.reshape(b, h, w, groups, c // groups)
+        mu = xg.mean(axis=(0, 1, 2, 4), keepdims=True)
+        var = xg.var(axis=(0, 1, 2, 4), keepdims=True)
+        y = ((xg - mu) * jax.lax.rsqrt(var + self.epsilon)).reshape(b, h, w, c)
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(orig_dtype)
 
 
 def _conv_impl(quantize: bool):
