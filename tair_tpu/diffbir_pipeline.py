@@ -36,8 +36,9 @@ class DiffBIRPipeline:
 
     def _make_sampler(self, sampler_type: str, rescale_cfg: bool):
         """Sampler dispatch (reference pipeline.py:178-200): spaced | ddim |
-        dpm_solver_{1,2,3} (++ multistep) | edm_<solver> (euler / heun /
-        dpmpp_2m / euler_ancestral / dpmpp_2m_sde)."""
+        dpm_solver_{1,2,3} (++ multistep) | dpm_solver_s{1,2,3} (++
+        singlestep) | edm_<solver> (euler / heun / dpmpp_2m /
+        euler_ancestral / dpmpp_2m_sde)."""
         betas = self.model.schedule.betas
         if sampler_type == "spaced":
             return self.model.sampler(rescale_cfg=rescale_cfg)
@@ -49,10 +50,14 @@ class DiffBIRPipeline:
                 rescale_cfg=rescale_cfg, eta=0.0,
             )
         if sampler_type.startswith("dpm"):
-            from .sampler.dpm import DPMSolverPP
+            from .sampler.dpm import DPMSolverPP, DPMSolverPPSingle
 
             order = int(sampler_type[-1]) if sampler_type[-1].isdigit() else 2
-            return DPMSolverPP(
+            # "dpm_solver_s2" / "dpm_single_2" -> singlestep family
+            single = ("single" in sampler_type
+                      or sampler_type.rstrip("123").endswith("s"))
+            cls = DPMSolverPPSingle if single else DPMSolverPP
+            return cls(
                 training_betas=betas, parameterization="v",
                 rescale_cfg=rescale_cfg, order=order,
             )

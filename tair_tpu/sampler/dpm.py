@@ -1,16 +1,21 @@
-"""DPM-Solver++ multistep samplers, orders 1-3 (lax.scan).
+"""DPM-Solver++ samplers, multistep AND singlestep orders 1-3 (lax.scan).
 
 Counterpart of /root/reference/terediff/sampler/dpms_sampler.py:17-101 +
 the vendored dpm_solver_pytorch.py (NoiseScheduleVP / DPM_Solver orders
 1-3 single/multistep). Implemented natively as one scan in log-SNR
-("dpmsolver++") data-prediction form with the standard multistep warmup
-(order reduction at the first nodes), "time_uniform" lambda spacing over
-the trained discrete schedule. Order 1 is the DDIM-equivalent update;
-order 2 is the usual "2M" solver; order 3 adds the second divided
-difference (multistep_dpm_solver_third_update in the vendored library).
-Singlestep solvers are intentionally not rebuilt: at guided-restoration
-step counts the multistep family dominates them (and the reference's
-sampler entry point defaults to multistep, dpms_sampler.py:66).
+("dpmsolver++") data-prediction form with "time_uniform" lambda spacing
+over the trained discrete schedule.
+
+`DPMSolverPP` (multistep): order 1 is the DDIM-equivalent update; order 2
+the usual "2M" solver; order 3 adds the second divided difference
+(multistep_dpm_solver_third_update in the vendored library), with the
+standard warmup order-reduction at the first nodes.
+
+`DPMSolverPPSingle` (singlestep): Runge-Kutta-style intermediate model
+evaluations inside each outer interval (singlestep_dpm_solver_second/
+third_update, dpm_solver_pytorch.py) — `steps` outer intervals cost
+`steps * order` model calls. The reference's entry point defaults to
+multistep (dpms_sampler.py:66); singlestep is kept for capability parity.
 """
 
 from __future__ import annotations
@@ -25,30 +30,45 @@ import numpy as np
 from .base import SamplerBase
 
 
+def _cont_maps(training_betas):
+    """Continuous-time interpolants of the trained discrete schedule."""
+    ac = np.cumprod(1.0 - np.asarray(training_betas, np.float64))
+    # zero-terminal-SNR schedules (the TAIR production schedule) end at
+    # alpha_bar = 0 exactly; clamp before the logs or lambda(T) = -inf
+    # poisons the first solver step with NaNs
+    ac = np.clip(ac, 1e-10, 1.0)
+    log_alpha = 0.5 * np.log(ac)  # discrete log alpha_t
+    t_grid = np.linspace(1e-3, 1.0, len(ac))
+    sigma = np.sqrt(1 - ac)
+    lam = log_alpha - np.log(sigma)  # lambda(t), decreasing in t
+    return t_grid, lam, log_alpha, len(ac)
+
+
+def _nodes_at_t(ts, t_grid, lam, log_alpha, n):
+    """(alpha, sigma, lambda, discrete-t) at continuous times ts."""
+    lam_i = np.interp(ts, t_grid, lam)
+    la_i = np.interp(ts, t_grid, log_alpha)
+    sig_i = np.exp(la_i - lam_i)
+    alpha_i = np.exp(la_i)
+    t_disc = np.clip(np.round(ts * (n - 1)).astype(np.int32), 0, n - 1)
+    return alpha_i, sig_i, lam_i, t_disc
+
+
+def _t_of_lam(lam_target, t_grid, lam):
+    """Invert lambda(t) (lam is decreasing in t)."""
+    return np.interp(lam_target, lam[::-1], t_grid[::-1])
+
+
 @dataclass(frozen=True)
 class DPMSolverPP(SamplerBase):
     order: int = 2
 
     def _schedule(self, steps: int):
-        ac = np.cumprod(1.0 - self.training_betas)
-        # zero-terminal-SNR schedules (the TAIR production schedule) end at
-        # alpha_bar = 0 exactly; clamp before the logs or lambda(T) = -inf
-        # poisons the first solver step with NaNs
-        ac = np.clip(ac, 1e-10, 1.0)
-        log_alpha = 0.5 * np.log(ac)  # discrete log alpha_t
-        t_grid = np.linspace(1e-3, 1.0, len(ac))
-        # continuous interpolation of lambda(t) = log_alpha - log_sigma
-        sigma = np.sqrt(1 - ac)
-        lam = log_alpha - np.log(sigma)
-        # uniform in t from T to eps (xp=t_grid is increasing; x pointwise)
+        t_grid, lam, log_alpha, n = _cont_maps(self.training_betas)
+        # uniform in t from T to eps
         ts = np.linspace(1.0, 1e-3, steps + 1)
-        lam_i = np.interp(ts, t_grid, lam)
-        la_i = np.interp(ts, t_grid, log_alpha)
-        sig_i = np.exp(la_i - lam_i)
-        alpha_i = np.exp(la_i)
-        # map continuous t back to nearest discrete model timestep
-        t_disc = np.clip(
-            np.round(ts * (len(ac) - 1)).astype(np.int32), 0, len(ac) - 1
+        alpha_i, sig_i, lam_i, t_disc = _nodes_at_t(
+            ts, t_grid, lam, log_alpha, n
         )
         return (
             jnp.asarray(alpha_i, jnp.float32),
@@ -140,3 +160,108 @@ class DPMSolverPP(SamplerBase):
 
 # the variant TAIR-adjacent pipelines reach for by default
 DPMSolverPP2M = partial(DPMSolverPP, order=2)
+
+
+@dataclass(frozen=True)
+class DPMSolverPPSingle(SamplerBase):
+    """DPM-Solver++ SINGLESTEP orders 1-3.
+
+    Each of the `steps` outer lambda-intervals is solved with `order` fresh
+    model evaluations at Runge-Kutta-style intermediate nodes (r1=1/2 for
+    order 2; r1=1/3, r2=2/3 for order 3), matching the vendored library's
+    singlestep_dpm_solver_second/third_update with solver_type="dpmsolver"
+    (/root/reference/terediff/sampler/dpm_solver_pytorch.py). Order 1 is
+    identical to multistep order 1 (DDIM update). NFE = steps * order.
+    """
+
+    order: int = 2
+
+    def sample(
+        self,
+        model_fn,
+        steps: int,
+        x_T: jnp.ndarray,
+        cond,
+        rng: jax.Array = None,
+        uncond=None,
+        cfg_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        if self.order not in (1, 2, 3):
+            raise ValueError(f"order must be 1, 2 or 3, got {self.order}")
+        t_grid, lam, log_alpha, n = _cont_maps(self.training_betas)
+        ts = np.linspace(1.0, 1e-3, steps + 1)
+        alp, sig, lam_i, td = _nodes_at_t(ts, t_grid, lam, log_alpha, n)
+        h_np = lam_i[1:] - lam_i[:-1]  # [steps], > 0 (toward cleaner)
+
+        r1 = 0.5 if self.order == 2 else 1.0 / 3.0
+        r2 = 2.0 / 3.0
+        s1_nodes = _nodes_at_t(
+            _t_of_lam(lam_i[:-1] + r1 * h_np, t_grid, lam),
+            t_grid, lam, log_alpha, n,
+        )
+        s2_nodes = _nodes_at_t(
+            _t_of_lam(lam_i[:-1] + r2 * h_np, t_grid, lam),
+            t_grid, lam, log_alpha, n,
+        )
+        as_j = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        alp, sig, h = as_j(alp), as_j(sig), as_j(h_np)
+        alp1, sig1, _, td1 = (as_j(s1_nodes[0]), as_j(s1_nodes[1]),
+                              s1_nodes[2], jnp.asarray(s1_nodes[3]))
+        alp2, sig2, _, td2 = (as_j(s2_nodes[0]), as_j(s2_nodes[1]),
+                              s2_nodes[2], jnp.asarray(s2_nodes[3]))
+        td = jnp.asarray(td)
+
+        sac = jnp.sqrt(
+            jnp.asarray(np.cumprod(1.0 - self.training_betas), jnp.float32)
+        )
+        s1m = jnp.sqrt(1.0 - sac**2)
+        bs = x_T.shape[0]
+
+        def denoise(x, t_scalar):
+            """data prediction x0 at discrete model timestep t_scalar."""
+            t = jnp.full((bs,), t_scalar, jnp.int32)
+            if uncond is None:
+                out, _ = model_fn(x, t, cond)
+            else:
+                out_c, _ = model_fn(x, t, cond)
+                out_u, _ = model_fn(x, t, uncond)
+                out = out_u + self.get_cfg_scale(cfg_scale, t[0]) * (
+                    out_c - out_u
+                )
+            out = out.astype(jnp.float32)
+            a, s = sac[t_scalar], s1m[t_scalar]
+            if self.parameterization == "v":
+                return a * x - s * out
+            return (x - s * out) / jnp.maximum(a, 1e-8)
+
+        def body(x, i):
+            hi = h[i]
+            m_s = denoise(x, td[i])
+            phi1 = jnp.expm1(-hi)
+            base = sig[i + 1] / sig[i] * x - alp[i + 1] * phi1 * m_s
+            if self.order == 1:
+                x_next = base
+            elif self.order == 2:
+                phi11 = jnp.expm1(-r1 * hi)
+                x_s1 = sig1[i] / sig[i] * x - alp1[i] * phi11 * m_s
+                m_s1 = denoise(x_s1, td1[i])
+                x_next = base - (0.5 / r1) * alp[i + 1] * phi1 * (m_s1 - m_s)
+            else:
+                phi11 = jnp.expm1(-r1 * hi)
+                phi12 = jnp.expm1(-r2 * hi)
+                phi22 = phi12 / (r2 * hi) + 1.0
+                phi2 = phi1 / hi + 1.0
+                x_s1 = sig1[i] / sig[i] * x - alp1[i] * phi11 * m_s
+                m_s1 = denoise(x_s1, td1[i])
+                x_s2 = (
+                    sig2[i] / sig[i] * x
+                    - alp2[i] * phi12 * m_s
+                    + (r2 / r1) * alp2[i] * phi22 * (m_s1 - m_s)
+                )
+                m_s2 = denoise(x_s2, td2[i])
+                x_next = base + (1.0 / r2) * alp[i + 1] * phi2 * (m_s2 - m_s)
+            return x_next.astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, x_T, jnp.arange(steps))
+        # denoise-to-zero: return the data prediction at the final node
+        return denoise(x, td[steps])

@@ -88,6 +88,80 @@ def test_dpmpp_higher_order_converges_faster():
     assert errs[3] <= errs[1]
 
 
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_dpmpp_single_orders_recover_delta(order):
+    from tair_tpu.sampler.dpm import DPMSolverPPSingle
+
+    sched, x0, model_fn = setup_oracle()
+    s = DPMSolverPPSingle(
+        training_betas=sched.betas, parameterization="v", order=order
+    )
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    x = s.sample(model_fn, 10, x_T, None)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-2)
+
+
+def test_dpmpp_single_order1_equals_multistep_order1():
+    """Order 1 has no intermediate nodes: singlestep == multistep == the
+    DDIM-equivalent update, bit-for-bit on the same lambda grid."""
+    from tair_tpu.sampler.dpm import DPMSolverPPSingle
+
+    sched, x0, model_fn = setup_oracle()
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    a = DPMSolverPPSingle(
+        training_betas=sched.betas, parameterization="v", order=1
+    ).sample(model_fn, 12, x_T, None)
+    b = DPMSolverPP(
+        training_betas=sched.betas, parameterization="v", order=1
+    ).sample(model_fn, 12, x_T, None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dpmpp_single_higher_order_converges_faster():
+    """State-dependent oracle (x0 = k*x, a contraction the solver must track
+    along the trajectory): with few outer intervals, each added intermediate
+    evaluation must strictly reduce the error vs a converged reference."""
+    from tair_tpu.sampler.dpm import DPMSolverPPSingle
+
+    sched, _, _ = setup_oracle()
+    sac = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
+    s1m = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32)
+    k = 0.7
+
+    def model_fn(x, t, cond):
+        a = sac[t].reshape(-1, 1, 1, 1)
+        b = s1m[t].reshape(-1, 1, 1, 1)
+        # v-output such that the data prediction a*x - b*out = k*x
+        return (a * x - k * x) / jnp.maximum(b, 1e-8), ()
+
+    x_T = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 2))
+    ref = DPMSolverPPSingle(
+        training_betas=sched.betas, parameterization="v", order=1
+    ).sample(model_fn, 800, x_T, None)
+    errs = {}
+    for order in (1, 2, 3):
+        s = DPMSolverPPSingle(
+            training_betas=sched.betas, parameterization="v", order=order
+        )
+        x = s.sample(model_fn, 6, x_T, None)
+        errs[order] = float(jnp.abs(x - ref).max())
+    assert errs[2] < 0.5 * errs[1], errs
+    assert errs[3] < errs[2], errs
+
+
+def test_dpmpp_single_finite_on_zero_snr_schedule():
+    from tair_tpu.sampler.dpm import DPMSolverPPSingle
+
+    sched, x0, model_fn = setup_oracle(zero_snr=True)
+    s = DPMSolverPPSingle(
+        training_betas=sched.betas, parameterization="v", order=3
+    )
+    x_T = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    x = s.sample(model_fn, 10, x_T, None)
+    assert np.isfinite(np.asarray(x)).all()
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=8e-2)
+
+
 @pytest.mark.parametrize("solver", ["euler", "heun", "dpmpp_2m"])
 def test_edm_solvers_recover_delta(solver):
     sched, x0, model_fn = setup_oracle()
