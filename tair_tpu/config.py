@@ -47,6 +47,11 @@ class TrainConfig:
     unet_feat_sampling_timestep: Tuple[int, ...] = (10, 20, 30, 40, 50)
     exp_dir: str = "./runs/exp"
     resume: Optional[str] = None
+    # weight-only .npz (train/checkpoint.py save_params) merged into the
+    # fresh init before training — e.g. in-env pretrained SwinIR/VAE from
+    # scripts/pretrain_demo.py (the reference instead loads external SD /
+    # DiffBIR checkpoints at this point, initialize.py:155-166)
+    init_params: Optional[str] = None
     seed: int = 0
     n_data_devices: Optional[int] = None  # default: all devices
     log_tool: Optional[str] = None   # None/jsonl | tensorboard | wandb

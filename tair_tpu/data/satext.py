@@ -177,10 +177,58 @@ def collate(items: List[Dict], max_inst: int = MAX_INSTANCES) -> Dict[str, np.nd
     return batch
 
 
+# 5x7 bitmap font, A-Z: 7 rows of 5 bits each (MSB = leftmost column).
+# Rendered into the synthetic signs so the TRANSCRIPTION of each instance is
+# recoverable from pixels — random strokes would make the recognition loss
+# unlearnable noise, which is useless for quality A/Bs (SERVING.md).
+_FONT5X7 = {
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x19, 0x15, 0x13, 0x11, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x1B, 0x11),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+}
+
+
+def _glyph_mask(word: str) -> np.ndarray:
+    """[7, 6*len(word)] binary mask (1 px inter-letter spacing)."""
+    cols = []
+    for ch in word:
+        rows = _FONT5X7[ch]
+        g = np.array(
+            [[(r >> (4 - c)) & 1 for c in range(5)] for r in rows], np.float32
+        )
+        cols.append(np.pad(g, ((0, 0), (0, 1))))
+    return np.concatenate(cols, axis=1)
+
+
 class SyntheticSAText:
     """Synthetic stand-in for SA-Text (smoke tests / environments without the
     dataset): random textured images with high-contrast rectangle 'signs',
-    random ASCII words, boxes and polygons consistent with the layout."""
+    random ASCII words RENDERED AS READABLE 5x7 GLYPHS (so detection AND
+    recognition are learnable), boxes and polygons consistent with the
+    layout."""
 
     def __init__(self, size: int = 512, length: int = 64, seed: int = 0):
         self.size = size
@@ -206,11 +254,30 @@ class SyntheticSAText:
             x = rng.randint(0, s - w)
             y = rng.randint(0, s - h)
             img[y : y + h, x : x + w] = rng.uniform(0.85, 1.0)
-            # crude glyph strokes
-            for gx in range(x + 2, x + w - 2, 6):
-                img[y + 2 : y + h - 2, gx : gx + 2] = rng.uniform(0.0, 0.15)
+            # largest glyph scale the sign height allows (big text survives
+            # degradation), word length bounded by width at that scale
+            k = max(1, (h - 4) // 7)
+            while k > 1 and (w - 4) // (6 * k) < 2:
+                k -= 1
+            max_len = max(2, min(8, (w - 4) // (6 * k)))
             word = "".join(
-                chr(rng.randint(65, 91)) for _ in range(rng.randint(2, 8))
+                chr(rng.randint(65, 91))
+                for _ in range(rng.randint(2, max_len + 1))
+            )
+            mask = np.kron(
+                _glyph_mask(word), np.ones((k, k), np.float32)
+            )
+            mh, mw = mask.shape
+            gy = y + (h - mh) // 2
+            gx = x + (w - mw) // 2
+            ink = rng.uniform(0.0, 0.15)
+            # clip the paste to image bounds (tiny test sizes can make the
+            # minimum 2-letter word wider than the sign)
+            gy0, gx0 = max(0, gy), max(0, gx)
+            gy1, gx1 = min(s, gy + mh), min(s, gx + mw)
+            sub = mask[gy0 - gy : gy1 - gy, gx0 - gx : gx1 - gx][..., None]
+            img[gy0:gy1, gx0:gx1] = (
+                img[gy0:gy1, gx0:gx1] * (1 - sub) + ink * sub
             )
             texts.append(word)
             encs.append(encode_text(word))

@@ -273,6 +273,7 @@ class TeReDiff:
         score_threshold: float = 0.5,
         max_words: int = 4,
         spotter_every: int = 1,
+        return_spots: bool = False,
     ):
         """Fully-compiled TeReDiff loop: ONE lax.scan where every denoising
         step runs the spotter on the UNet features, assembles the predicted
@@ -281,7 +282,12 @@ class TeReDiff:
         val_sample semantics with zero host round-trips. This is the serving/
         benchmark path; restore_with_ocr_feedback is the exact-parity
         (host-tokenized, CAPTION-template) variant.
-        Returns (restored [0,1], final_tokens [B,77]).
+        Returns (restored [0,1], final_tokens [B,77]); with
+        return_spots=True additionally the LAST spotter decode (the dict
+        spotter_inference returns, minus rec_scores) — the reference's
+        val_sample exposes the same per-step predictions host-side
+        (spaced_sampler.py:295-317), and serving/eval callers need the
+        final one without paying a second spotter pass.
         """
         from .models.prompt_splice import splice_tag_prompt
         from .spotter.testr import spotter_inference
@@ -303,8 +309,18 @@ class TeReDiff:
         k_noise, k_chain = jax.random.split(rng)
         x_T = jax.random.normal(k_noise, (b, h // 8, w // 8, 4), jnp.float32)
 
+        tc = self.testr.cfg
+        spots0 = {
+            "scores": jnp.zeros((b, tc.num_proposals), jnp.float32),
+            "keep": jnp.zeros((b, tc.num_proposals), bool),
+            "polygons": jnp.zeros(
+                (b, tc.num_proposals, tc.num_ctrl_points, 2), jnp.float32
+            ),
+            "recs": jnp.zeros((b, tc.num_proposals, tc.num_chars), jnp.int32),
+        }
+
         def body(carry, i):
-            x, c_txt, tokens = carry
+            x, c_txt, tokens, spots = carry
             cond = dict(c_txt=c_txt, c_img=c_img)
             x, feats = sampler.p_sample(
                 model_fn, sp, x, total - 1 - i, cond, None, 1.0,
@@ -312,7 +328,7 @@ class TeReDiff:
             )
 
             def with_spotting(args):
-                c_txt, tokens = args
+                c_txt, tokens, _ = args
                 out = self.spotter_apply(params, feats)
                 res = spotter_inference(out, score_threshold, image_size=h)
                 new_tokens = splice_tag_prompt(
@@ -327,28 +343,32 @@ class TeReDiff:
                     lambda t: c_txt,
                     new_tokens,
                 )
-                return new_c_txt, new_tokens
+                new_spots = {k: res[k] for k in spots0}
+                return new_c_txt, new_tokens, new_spots
 
             if spotter_every == 1:
-                c_txt, tokens = with_spotting((c_txt, tokens))
+                c_txt, tokens, spots = with_spotting((c_txt, tokens, spots))
             else:
                 # serving knob: refresh the OCR prompt every k-th step only
                 # (the reference refreshes every step; k>1 trades a little
                 # text-awareness for large speedups since the spotter costs
                 # ~10x a UNet step)
-                c_txt, tokens = jax.lax.cond(
+                c_txt, tokens, spots = jax.lax.cond(
                     (i % spotter_every) == (spotter_every - 1),
                     with_spotting,
                     lambda a: a,
-                    (c_txt, tokens),
+                    (c_txt, tokens, spots),
                 )
-            return (x, c_txt, tokens), None
+            return (x, c_txt, tokens, spots), None
 
-        (x0, _, tokens), _ = jax.lax.scan(
-            body, (x_T, c_txt0, tokens0), jnp.arange(total)
+        (x0, _, tokens, spots), _ = jax.lax.scan(
+            body, (x_T, c_txt0, tokens0, spots0), jnp.arange(total)
         )
         restored = self.cldm.vae_decode(params, x0)
-        return jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0), tokens
+        restored = jnp.clip((restored + 1.0) / 2.0, 0.0, 1.0)
+        if return_spots:
+            return restored, tokens, spots
+        return restored, tokens
 
     def spotter_loss_fn(self, axis_name=None, criterion_cfg=None):
         """Adapter for train.step: (params, feats, batch) -> (loss, aux).

@@ -45,7 +45,7 @@ def main() -> None:
         create_mesh, init_distributed, replicate, shard_batch,
     )
     from tair_tpu.train.checkpoint import (
-        latest_checkpoint, restore_checkpoint, save_checkpoint,
+        latest_checkpoint, load_params, restore_checkpoint, save_checkpoint,
     )
     from tair_tpu.train.step import create_train_state, make_train_step
     from tair_tpu.utils.logging import MetricLogger, is_main_process
@@ -65,6 +65,10 @@ def main() -> None:
     model = build_model(cfg)
     diffusion = Diffusion(schedule=model.schedule, parameterization="v")
     params = model.init(jax.random.PRNGKey(tc.seed))
+    if tc.init_params:
+        params = load_params(tc.init_params, params)
+        if is_main_process():
+            print(f"initialized params from {tc.init_params}")
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     if is_main_process():
         print(f"total params: {n_params/1e6:.1f}M")
