@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--preset", default="default")
+    # run one phase per process: phase-1 buffers held by the remote backend
+    # otherwise exhaust HBM when phase 2 starts (measured: the VAE phase's
+    # first device_put RESOURCE_EXHAUSTEDs right after the SwinIR phase)
+    ap.add_argument("--phase", default="both",
+                    choices=["both", "swinir", "vae"])
     args = ap.parse_args()
 
     import jax
@@ -73,38 +78,59 @@ def main():
         lambda r, hq, k1, k2, sk: degrade_batch(r, hq, k1, k2, sk, deg_cfg)
     )
 
-    # ---- SwinIR: cleaner pretraining on real degradation pairs ----------
-    sw_params = params["swinir"]
+    # merge into an existing export so single-phase runs compose
+    out_tree = {"swinir": params["swinir"], "vae": params["vae"]}
+    if os.path.exists(args.out):
+        from tair_tpu.train.checkpoint import load_params
+
+        out_tree = load_params(args.out, out_tree)
+        print(f"merging into existing {args.out}")
+
+    def save():
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        save_params(args.out, out_tree)
+        print(f"saved pretrained modules to {args.out}", flush=True)
+
     tx = optax.adam(args.lr)
 
-    def swinir_loss(p, lq, gt01):
-        out = model.swinir.apply({"params": p}, lq)
-        return jnp.abs(out.astype(jnp.float32) - gt01).mean()
+    # ---- SwinIR: cleaner pretraining on real degradation pairs ----------
+    if args.phase in ("both", "swinir") and args.swinir_steps:
+        sw_params = params["swinir"]
 
-    @jax.jit
-    def swinir_step(p, opt, lq, gt01):
-        loss, g = jax.value_and_grad(swinir_loss)(p, lq, gt01)
-        updates, opt = tx.update(g, opt, p)
-        return optax.apply_updates(p, updates), opt, loss
+        def swinir_loss(p, lq, gt01):
+            out = model.swinir.apply({"params": p}, lq)
+            return jnp.abs(out.astype(jnp.float32) - gt01).mean()
 
-    opt = tx.init(sw_params)
-    t0 = time.time()
-    for step in range(args.swinir_steps):
-        raw = batch_at(step)
-        gt, lq = degrade(
-            jax.random.fold_in(jax.random.PRNGKey(1), step),
-            jnp.asarray(raw["hq"]), jnp.asarray(raw["kernel1"]),
-            jnp.asarray(raw["kernel2"]), jnp.asarray(raw["sinc_kernel"]),
-        )
-        sw_params, opt, loss = swinir_step(sw_params, opt, lq, (gt + 1) / 2)
-        if (step + 1) % args.log_every == 0:
-            print(
-                f"[swinir {step + 1}/{args.swinir_steps}] "
-                f"l1={float(loss):.4f} ({time.time() - t0:.1f}s)",
-                flush=True,
+        @jax.jit
+        def swinir_step(p, opt, lq, gt01):
+            loss, g = jax.value_and_grad(swinir_loss)(p, lq, gt01)
+            updates, opt = tx.update(g, opt, p)
+            return optax.apply_updates(p, updates), opt, loss
+
+        opt = tx.init(sw_params)
+        t0 = time.time()
+        for step in range(args.swinir_steps):
+            raw = batch_at(step)
+            gt, lq = degrade(
+                jax.random.fold_in(jax.random.PRNGKey(1), step),
+                jnp.asarray(raw["hq"]), jnp.asarray(raw["kernel1"]),
+                jnp.asarray(raw["kernel2"]), jnp.asarray(raw["sinc_kernel"]),
             )
+            sw_params, opt, loss = swinir_step(
+                sw_params, opt, lq, (gt + 1) / 2
+            )
+            if (step + 1) % args.log_every == 0:
+                print(
+                    f"[swinir {step + 1}/{args.swinir_steps}] "
+                    f"l1={float(loss):.4f} ({time.time() - t0:.1f}s)",
+                    flush=True,
+                )
+        out_tree["swinir"] = jax.device_get(sw_params)
+        save()
 
     # ---- VAE: reconstruction + tiny KL ---------------------------------
+    if args.phase == "swinir" or not args.vae_steps:
+        return
     vae_params = params["vae"]
 
     # diffusion downstream needs ~unit-variance SCALED latents; the scale
@@ -155,9 +181,8 @@ def main():
                 flush=True,
             )
 
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    save_params(args.out, {"swinir": sw_params, "vae": vae_params})
-    print(f"saved pretrained swinir+vae to {args.out}")
+    out_tree["vae"] = jax.device_get(vae_params)
+    save()
 
 
 if __name__ == "__main__":

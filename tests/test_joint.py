@@ -105,6 +105,35 @@ def test_fused_feedback_restore():
     assert np.isfinite(np.asarray(restored)).all()
 
 
+def test_fused_feedback_return_spots():
+    """return_spots carries the LAST spotter decode out of the scan with
+    the fixed spotter_inference shapes (serving/eval callers need it
+    without a second spotter pass)."""
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    tc = model.testr.cfg
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    restored, tokens, spots = model.restore_fused_feedback(
+        params, lq, jax.random.PRNGKey(2), steps=3, score_threshold=0.0,
+        return_spots=True,
+    )
+    assert restored.shape == (1, 64, 64, 3)
+    assert spots["scores"].shape == (1, tc.num_proposals)
+    assert spots["keep"].shape == (1, tc.num_proposals)
+    assert spots["polygons"].shape == (1, tc.num_proposals,
+                                       tc.num_ctrl_points, 2)
+    assert spots["recs"].shape == (1, tc.num_proposals, tc.num_chars)
+    # threshold 0 keeps everything: the spotter really ran
+    assert np.asarray(spots["keep"]).all()
+    assert np.isfinite(np.asarray(spots["scores"])).all()
+    # two-tuple contract unchanged for existing callers
+    r2, t2 = model.restore_fused_feedback(
+        params, lq, jax.random.PRNGKey(2), steps=3, score_threshold=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(restored))
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(tokens))
+
+
 def test_fused_feedback_spotter_every_k():
     model = build_tiny_model()
     params = model.init(jax.random.PRNGKey(0))
