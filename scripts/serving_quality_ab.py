@@ -82,6 +82,9 @@ def main():
     from tair_tpu.utils.text_eval import SpottingInstance, evaluate_dataset
 
     enable_compile_cache()
+    from tair_tpu.ops.attention import enable_inference_kernels
+
+    enable_inference_kernels()
     cfg = load_config(args.config)
     size = cfg.dataset.out_size
     # encoder token count at this eval size: levels latent/1, /2, /4, /8 of
@@ -91,6 +94,12 @@ def main():
 
     base_model = build_model(cfg)
     params = load_trained_params(cfg, base_model, args.ckpt)
+    if cfg.dtype == "bfloat16":
+        # measure quality in the exact serving configuration (SERVING.md:
+        # bf16-resident weights)
+        from tair_tpu.pipeline import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
 
     # knob configs: (label, spotter_every, enc_topk)
     def resolve(name):

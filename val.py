@@ -63,6 +63,17 @@ def main() -> None:
         help="fully-compiled loop with on-device prompt splicing (TAG style) "
              "instead of the host-tokenized CAPTION feedback",
     )
+    parser.add_argument(
+        "--spotter-every", type=int, default=1,
+        help="(fused only) refresh the OCR prompt every k-th denoise step; "
+             "1 = reference val_sample semantics. Quality/throughput trade "
+             "measured in docs/SERVING.md",
+    )
+    parser.add_argument(
+        "--enc-topk", type=int, default=None,
+        help="sparse spotter encoder: only the top-K salient tokens are "
+             "msda queries per layer (0/None = exact). See docs/SERVING.md",
+    )
     args = parser.parse_args()
 
     import jax
@@ -79,6 +90,10 @@ def main() -> None:
     enable_compile_cache()
     enable_inference_kernels()
     cfg = load_config(args.config)
+    if args.enc_topk:
+        cfg.testr_overrides = dict(
+            cfg.testr_overrides or {}, enc_topk=args.enc_topk
+        )
     vc = cfg.val
     steps = args.steps or vc.steps
     os.makedirs(vc.output_dir, exist_ok=True)
@@ -132,6 +147,7 @@ def main() -> None:
         fused_fn = jax.jit(_partial(
             model.restore_fused_feedback, steps=steps,
             score_threshold=vc.score_threshold,
+            spotter_every=args.spotter_every, return_spots=True,
         ))
 
     names = list_images(vc.lq_dir)
@@ -140,15 +156,18 @@ def main() -> None:
         lq_b = jnp.asarray(lq)[None]
         rng = jax.random.PRNGKey(vc.seed + i)
         if args.fused:
-            from tair_tpu.models.tokenizer import get_tokenizer
+            from tair_tpu.spotter.charset import decode_text
 
-            restored, tokens = fused_fn(params, lq_b, rng)
-            tok = get_tokenizer()
-            ids = [int(t) for t in np.asarray(tokens[0])
-                   if t not in (0, tok.sot_token, tok.eot_token)]
+            restored, tokens, spots = fused_fn(params, lq_b, rng)
+            sp = jax.device_get(spots)
+            keep = sp["keep"][0]
             final = {
-                "pred_texts": [w for w in tok.decode(ids).split(" , ") if w],
-                "pred_polys": np.zeros((0, 16, 2), np.int32),
+                "pred_texts": [
+                    decode_text(sp["recs"][0][j])
+                    for j in range(len(keep)) if keep[j]
+                ],
+                "pred_polys": sp["polygons"][0][keep].astype(np.int32),
+                "scores": sp["scores"][0][keep],
             }
         else:
             restored, ts_results = model.restore_with_ocr_feedback(

@@ -21,6 +21,15 @@ def main() -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument(
+        "--spotter-every", type=int, default=1,
+        help="(tiled_ocr_loop) refresh the OCR prompt every k-th step; "
+             "quality/throughput trade in docs/SERVING.md",
+    )
+    parser.add_argument(
+        "--enc-topk", type=int, default=None,
+        help="sparse spotter encoder top-K (0/None = exact), docs/SERVING.md",
+    )
     args = parser.parse_args()
 
     import jax
@@ -40,6 +49,10 @@ def main() -> None:
     from val import list_images, load_image, save_image
 
     cfg = load_config(args.config)
+    if args.enc_topk:
+        cfg.testr_overrides = dict(
+            cfg.testr_overrides or {}, enc_topk=args.enc_topk
+        )
     vc = cfg.val
     steps = args.steps or vc.steps
     os.makedirs(vc.output_dir, exist_ok=True)
@@ -83,6 +96,7 @@ def main() -> None:
             restored, _ = model.restore_fused_feedback(
                 params, lq_batch, rng, steps=steps,
                 score_threshold=vc.score_threshold,
+                spotter_every=args.spotter_every,
             )
         else:
             toks = jnp.broadcast_to(empty_tokens, (lq_batch.shape[0], 77))
