@@ -97,6 +97,60 @@ def test_synthetic_dataset_iterator():
     assert b2["hq"].shape == (4, 64, 64, 3)
 
 
+def test_synthetic_glyphs_recoverable():
+    """The rendered word must be recoverable from pixels: each sign contains
+    exactly its word's 5x7 glyph pattern (dark ink on the light sign), so the
+    recognition loss trains on real signal, not letter-independent strokes."""
+    import numpy as np
+
+    from tair_tpu.data.satext import _glyph_mask
+
+    ds = SyntheticSAText(size=256, length=8, seed=11)
+    checked = 0
+    for i in range(8):
+        d = ds[i]
+        img = d["hq"].mean(-1)
+        boxes = np.asarray(d["bbox"])
+
+        def overlaps_another(j):
+            for k in range(len(boxes)):
+                if k == j:
+                    continue
+                dx = abs(boxes[j][0] - boxes[k][0])
+                dy = abs(boxes[j][1] - boxes[k][1])
+                if (dx < (boxes[j][2] + boxes[k][2]) / 2
+                        and dy < (boxes[j][3] + boxes[k][3]) / 2):
+                    return True
+            return False
+
+        for j, (word, box) in enumerate(zip(d["text"], d["bbox"])):
+            if overlaps_another(j):  # a later sign may occlude this word
+                continue
+            cx, cy, w, h = box * 256
+            x0, y0 = int(cx - w / 2), int(cy - h / 2)
+            sign = img[y0 : int(y0 + h), x0 : int(x0 + w)]
+            ink = (sign < 0.4).astype(np.float32)
+            mask = _glyph_mask(word)
+            # the ink blob, cropped to its bbox and resized to the glyph
+            # grid, must correlate strongly with the word's glyph mask
+            ys, xs = np.nonzero(ink)
+            assert len(ys) > 0, (i, word)
+            blob = ink[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+            # crop BOTH to their ink bounding boxes (the glyph grid has an
+            # empty trailing spacer column), then compare at matched scale
+            mys, mxs = np.nonzero(mask)
+            mcrop = mask[mys.min() : mys.max() + 1, mxs.min() : mxs.max() + 1]
+            gh, gw = mcrop.shape
+            ry = ((np.arange(gh) + 0.5) * blob.shape[0] / gh).astype(int)
+            rx = ((np.arange(gw) + 0.5) * blob.shape[1] / gw).astype(int)
+            small = blob[np.ix_(np.clip(ry, 0, blob.shape[0] - 1),
+                                np.clip(rx, 0, blob.shape[1] - 1))]
+            agree = float((small == mcrop).mean())
+            assert agree > 0.8, (i, word, agree)
+            checked += 1
+    assert checked >= 8
+
+
 def test_file_backends(tmp_path):
     import io
 
