@@ -40,9 +40,9 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--preset", default="default")
-    # run one phase per process: phase-1 buffers held by the remote backend
-    # otherwise exhaust HBM when phase 2 starts (measured: the VAE phase's
-    # first device_put RESOURCE_EXHAUSTEDs right after the SwinIR phase)
+    # one phase per process + per-phase saves: a phase crash (the VAE bwd
+    # RESOURCE_EXHAUSTEDs at batch 4 / 256^2 on the 16G chip; use --batch 2
+    # for the vae phase) must not lose the other phase's finished weights
     ap.add_argument("--phase", default="both",
                     choices=["both", "swinir", "vae"])
     args = ap.parse_args()
