@@ -158,7 +158,7 @@ def main():
                 spotter_every=s_every, return_spots=True,
             )
         )
-        psnrs, ssims, all_gts, all_preds, times = [], [], [], [], []
+        psnrs, ssims, all_gts, all_spots, times = [], [], [], [], []
         for i, ((gt01, lq), item) in enumerate(zip(pairs, items)):
             t0 = time.time()
             restored, _, spots = run(params, lq, jax.random.PRNGKey(7 + i))
@@ -166,22 +166,11 @@ def main():
             times.append(time.time() - t0)
             psnrs.append(float(psnr(restored, gt01)[0]))
             ssims.append(float(ssim(restored, gt01)[0]))
-            sp = jax.device_get(spots)
-            keep = sp["keep"][0]
-            preds = [
-                SpottingInstance(
-                    sp["polygons"][0][j], decode_text(sp["recs"][0][j]),
-                    float(sp["scores"][0][j]),
-                )
-                for j in range(len(keep)) if keep[j]
-            ]
-            gts = [
+            all_spots.append(jax.device_get(spots))
+            all_gts.append([
                 SpottingInstance(np.asarray(p) * size, t)
                 for p, t in zip(item["poly"], item["text"])
-            ]
-            all_gts.append(gts)
-            all_preds.append(preds)
-        scores = evaluate_dataset(all_gts, all_preds)
+            ])
         # steady-state: drop the first (compile) call
         steady = times[1:] or times
         row = dict(
@@ -189,13 +178,28 @@ def main():
             n_tokens=n_tokens, steps=args.steps, n_images=n,
             psnr=round(float(np.mean(psnrs)), 3),
             ssim=round(float(np.mean(ssims)), 4),
-            det_f=round(scores["det_hmean"], 4),
-            e2e_f=round(scores["e2e_hmean"], 4),
-            det_p=round(scores["det_precision"], 4),
-            det_r=round(scores["det_recall"], 4),
             img_per_s=round(1.0 / float(np.median(steady)), 4),
             sec_per_img=round(float(np.median(steady)), 3),
         )
+        # the in-loop prompt feedback uses the compiled score_threshold; the
+        # EVAL threshold re-applies on the raw scores host-side, so a sweep
+        # costs no recompile
+        for thr in sorted({args.score_threshold, 0.3, 0.5}):
+            all_preds = []
+            for sp in all_spots:
+                sc = sp["scores"][0]
+                all_preds.append([
+                    SpottingInstance(
+                        sp["polygons"][0][j], decode_text(sp["recs"][0][j]),
+                        float(sc[j]),
+                    )
+                    for j in range(len(sc)) if sc[j] >= thr
+                ])
+            scores = evaluate_dataset(all_gts, all_preds)
+            row[f"det_f@{thr}"] = round(scores["det_hmean"], 4)
+            row[f"e2e_f@{thr}"] = round(scores["e2e_hmean"], 4)
+            row[f"det_p@{thr}"] = round(scores["det_precision"], 4)
+            row[f"det_r@{thr}"] = round(scores["det_recall"], 4)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
