@@ -65,7 +65,12 @@ def main():
         if args.preset == "default"
         else build_tiny_model()
     )
-    params = model.init(jax.random.PRNGKey(0))
+    # ONE jitted init program: unjitted init traces ~600 tiny initializers,
+    # each a separate compile/load round-trip through the remote-chip relay
+    # (minutes of pure latency; same lesson as bench.py init_all)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print("params initialized", flush=True)
     deg_cfg = DegradationConfig()
 
     ds = SyntheticSAText(size=args.size, length=4096, seed=0)
@@ -109,6 +114,7 @@ def main():
 
         opt = tx.init(sw_params)
         t0 = time.time()
+        print("swinir phase: compiling degrade+step...", flush=True)
         for step in range(args.swinir_steps):
             raw = batch_at(step)
             gt, lq = degrade(
@@ -167,6 +173,7 @@ def main():
 
     opt = tx.init(vae_params)
     t0 = time.time()
+    print("vae phase: compiling step...", flush=True)
     for step in range(args.vae_steps):
         raw = batch_at(step + 100_000)
         x = jnp.asarray(raw["hq"]) * 2.0 - 1.0  # [-1,1], VAE's native range

@@ -40,6 +40,11 @@ class TrainConfig:
     # train_steps counts micro-steps, so updates = train_steps // grad_accum
     grad_accum: int = 1
     ckpt_every: int = 25_000
+    # 0 = off. Periodic weight-only float16 .npz export (params only, no
+    # optimizer state) to exp_dir/params_step_N.npz — ~5x cheaper than the
+    # orbax TrainState save on a remote chip, and directly loadable by the
+    # eval/A-B entry points and as init_params
+    save_params_every: int = 0
     log_loss_every: int = 50
     log_image_every: int = 500
     num_val_images: int = 2

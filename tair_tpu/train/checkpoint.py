@@ -43,24 +43,48 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), target=jax.device_get(target))
 
 
-def save_params(path: str, params: Any) -> None:
-    """Weight-only export (numpy .npz of the flattened pytree)."""
+def save_params(path: str, params: Any, dtype: Any = None) -> None:
+    """Weight-only export (numpy .npz of the flattened pytree).
+
+    dtype: optional cast for floating leaves before writing — float16 halves
+    the export size/time vs fp32 master weights, which matters on a remote
+    chip where device_get rides a ~10 MB/s relay (measured: the full fp32
+    TrainState costs ~17 min). bfloat16 does NOT survive a numpy .npz
+    round-trip (np.load returns dtype V2), so use float16 for compact
+    exports; load_params casts back to the target tree's dtypes.
+    """
     flat = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
-    arrays = {
-        "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
-        for p, v in flat
-    }
+    arrays = {}
+    for p, v in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        arr = np.asarray(v)
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(dtype)
+        arrays[key] = arr
     np.savez(path, **arrays)
 
 
 def load_params(path: str, params_like: Any) -> Any:
     """Weight-only import into an existing pytree structure (non-strict:
     missing keys keep their current values, like the reference's
-    load_state_dict(strict=False))."""
+    load_state_dict(strict=False)). Loaded floating arrays are cast to the
+    dtype of the corresponding target leaf so compact float16 exports
+    restore into fp32/bf16 trees transparently."""
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(params_like)
     out = []
     for p, v in flat:
         key = "/".join(str(getattr(k, "key", k)) for k in p)
-        out.append(data[key] if key in data.files else v)
+        if key in data.files:
+            arr = data[key]
+            tgt = np.dtype(v.dtype)  # .dtype, NOT np.asarray(v): no fetch
+            # bfloat16 (ml_dtypes) has kind 'V', so test by name, not
+            # np.issubdtype, to cover fp16->bf16 restores
+            _float = lambda d: (np.issubdtype(d, np.floating)
+                                or d.name == "bfloat16")
+            if _float(arr.dtype) and arr.dtype != tgt and _float(tgt):
+                arr = arr.astype(tgt)
+            out.append(arr)
+        else:
+            out.append(v)
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -46,6 +46,7 @@ def main() -> None:
     )
     from tair_tpu.train.checkpoint import (
         latest_checkpoint, load_params, restore_checkpoint, save_checkpoint,
+        save_params,
     )
     from tair_tpu.train.step import create_train_state, make_train_step
     from tair_tpu.utils.logging import MetricLogger, is_main_process
@@ -187,6 +188,15 @@ def main() -> None:
                 path = save_checkpoint(ckpt_dir, state, global_step)
                 print(f"saved checkpoint {path}")
 
+            if (tc.save_params_every
+                    and global_step % tc.save_params_every == 0
+                    and is_main_process()):
+                path = os.path.join(
+                    tc.exp_dir, f"params_step_{global_step:08d}.npz"
+                )
+                save_params(path, state.params, dtype=np.float16)
+                print(f"exported weights {path}", flush=True)
+
             if global_step % tc.log_image_every == 0:
                 val_metrics = run_validation(
                     model, state.params, cfg, gt, lq, host_batch["tokens"],
@@ -203,6 +213,13 @@ def main() -> None:
                 logger.log(global_step, val_metrics, prefix="val/")
 
     if is_main_process():
+        if tc.save_params_every:
+            save_params(
+                os.path.join(
+                    tc.exp_dir, f"params_step_{global_step:08d}.npz"
+                ),
+                state.params, dtype=np.float16,
+            )
         save_checkpoint(ckpt_dir, state, global_step)
         print("training done")
 
