@@ -110,11 +110,18 @@ def restore_tiled(
     overlap: int = 16,
     out_scale: int = 4,
     chunk: Optional[int] = None,
-) -> jnp.ndarray:
+    return_aux: bool = False,
+):
     """Split -> batched restore -> merge. `restore_batch_fn(lq_batch, rng)`
     maps [B, patch*out_scale, ...] -> same (patches are pre-upscaled x4 with
     bicubic, matching val_patches.py:317-318). `chunk` bounds the device
-    batch; patches are processed in ceil(N/chunk) equal compiled steps."""
+    batch; patches are processed in ceil(N/chunk) equal compiled steps.
+
+    return_aux=True: restore_batch_fn returns (restored, aux_pytree) where
+    every aux leaf has a leading per-patch batch dim; restore_tiled then
+    returns (merged, aux) with aux leaves stacked to [n_patches, ...] —
+    e.g. per-patch spotter decodes for submission dumps (val_patches
+    --dump-dir)."""
     h, w, c = image.shape
     patches = split_with_overlap(image, patch, overlap)
     n = patches.shape[0]
@@ -124,25 +131,34 @@ def restore_tiled(
         u = jax.image.resize(p, (p.shape[0], big, big, c), "cubic")
         return jnp.clip(u, 0.0, 1.0)
 
+    def _call(p, r):
+        out = restore_batch_fn(p, r)
+        return out if return_aux else (out, None)
+
     if chunk is None or chunk == n:
-        restored = restore_batch_fn(_upscale(patches), rng)
+        restored, aux = _call(_upscale(patches), rng)
     else:
         # chunk at the SMALL patch size (upscale inside the loop): the x16
         # upscaled buffer of a large image can run to GBs, so only `chunk`
         # patches are ever held at the restore resolution
         pad = (-n) % chunk
         patches_p = jnp.pad(patches, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        outs = []
+        outs, auxes = [], []
         for i in range(patches_p.shape[0] // chunk):
             pc = patches_p[i * chunk : (i + 1) * chunk]
-            outs.append(
-                restore_batch_fn(_upscale(pc), jax.random.fold_in(rng, i))
-            )
+            ri, ai = _call(_upscale(pc), jax.random.fold_in(rng, i))
+            outs.append(ri)
+            auxes.append(ai)
         restored = jnp.concatenate(outs, 0)[:n]
+        aux = (
+            jax.tree.map(lambda *xs: jnp.concatenate(xs, 0)[:n], *auxes)
+            if return_aux else None
+        )
 
-    return merge_with_overlap(
+    merged = merge_with_overlap(
         restored, (h, w), patch, overlap, big, overlap * out_scale
     )
+    return (merged, aux) if return_aux else merged
 
 
 def gaussian_window(patch: int, var: float = 0.01) -> np.ndarray:

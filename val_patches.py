@@ -30,6 +30,13 @@ def main() -> None:
         "--enc-topk", type=int, default=None,
         help="sparse spotter encoder top-K (0/None = exact), docs/SERVING.md",
     )
+    parser.add_argument(
+        "--dump-dir", default=None,
+        help="write the benchmark-server interchange bundle there "
+             "(text_results.json COCO + det.zip RRC, utils/submission.py) "
+             "from the per-patch spotter decodes mapped into merged-image "
+             "coordinates; requires val.tiled_ocr_loop",
+    )
     args = parser.parse_args()
 
     import jax
@@ -84,6 +91,12 @@ def main() -> None:
     else:
         shard_kwargs = {}
 
+    dump_spots = bool(args.dump_dir)
+    if dump_spots and not vc.tiled_ocr_loop:
+        raise SystemExit(
+            "--dump-dir needs the spotter in the loop: set val.tiled_ocr_loop"
+        )
+
     # params enter as a jit ARGUMENT (donated into neither side), not a
     # captured constant — closing over them would bake ~7GB of weights into
     # the executable as constants (slow compile, duplicated HBM)
@@ -93,22 +106,25 @@ def main() -> None:
             # reference parity: full 50-step val_sample incl. spotter-driven
             # prompt recycling PER PATCH (val_patches.py:334-369), here as
             # the fused on-device loop over the whole patch batch
-            restored, _ = model.restore_fused_feedback(
+            restored, _, spots = model.restore_fused_feedback(
                 params, lq_batch, rng, steps=steps,
                 score_threshold=vc.score_threshold,
                 spotter_every=args.spotter_every,
+                return_spots=True,
             )
         else:
             toks = jnp.broadcast_to(empty_tokens, (lq_batch.shape[0], 77))
             restored, _, _ = model.restore(
                 params, lq_batch, toks, rng, steps=steps
             )
-        return restored
+            spots = None
+        return (restored, spots) if dump_spots else restored
 
     def restore_batch(lq_batch, rng):
         return _restore_batch(params, lq_batch, rng)
 
     names = list_images(vc.lq_dir)
+    all_preds = []
     for i, name in enumerate(names):
         lq = load_image(os.path.join(vc.lq_dir, name))
         from tair_tpu.tiling import split_grid
@@ -129,7 +145,14 @@ def main() -> None:
             overlap=vc.overlap,
             out_scale=vc.out_scale,
             chunk=chunk,
+            return_aux=dump_spots,
         )
+        if dump_spots:
+            out, spots = out
+            all_preds.append(_spots_to_image_preds(
+                jax.device_get(spots), n_w, vc.patch_size, vc.overlap,
+                vc.out_scale, np.asarray(out).shape[:2],
+            ))
         out = np.asarray(out)
         stem = os.path.splitext(name)[0]
         save_image(os.path.join(vc.output_dir, f"restored_{stem}.png"), out)
@@ -148,7 +171,57 @@ def main() -> None:
             )
         logger.log(i, metrics)
 
+    if dump_spots:
+        from tair_tpu.utils.submission import dump_submission
+
+        paths = dump_submission(
+            args.dump_dir, all_preds, list(range(1, len(all_preds) + 1)),
+            confidence_threshold=vc.score_threshold,
+        )
+        print(f"submission bundle: {paths}")
+
     print(f"wrote results to {vc.output_dir}")
+
+
+def _spots_to_image_preds(
+    spots, n_w, patch, overlap, out_scale, canvas_hw, iou_dedup=0.5
+):
+    """Per-patch spotter decodes -> one deduplicated per-image prediction
+    list in merged-canvas pixel coordinates.
+
+    Each patch's polygons are emitted at the restored-patch frame
+    (patch*out_scale square, pipeline.py restore_fused_feedback ->
+    spotter_inference image_size); the patch at grid (r, c) starts at
+    (r, c)*stride in LQ coords, i.e. *out_scale in canvas coords. Instances
+    re-detected in overlapping patches are merged with a greedy
+    score-ordered polygon-IoU suppression (same IoU primitive as the
+    ICDAR protocol, utils/text_eval.polygon_iou)."""
+    import numpy as np
+
+    from tair_tpu.spotter.charset import decode_text
+    from tair_tpu.utils.text_eval import SpottingInstance, polygon_iou
+
+    stride = (patch - overlap) * out_scale
+    cand = []
+    n_patches = spots["scores"].shape[0]
+    for p in range(n_patches):
+        r, c = p // n_w, p % n_w
+        off = np.array([c * stride, r * stride], np.float32)  # (x, y)
+        keep = np.asarray(spots["keep"][p])
+        for j in np.nonzero(keep)[0]:
+            poly = np.asarray(spots["polygons"][p][j], np.float32) + off
+            poly[:, 0] = poly[:, 0].clip(0, canvas_hw[1] - 1)
+            poly[:, 1] = poly[:, 1].clip(0, canvas_hw[0] - 1)
+            cand.append(SpottingInstance(
+                poly, decode_text(np.asarray(spots["recs"][p][j])),
+                float(spots["scores"][p][j]),
+            ))
+    cand.sort(key=lambda s: -(s.score or 0.0))
+    kept = []
+    for s in cand:
+        if all(polygon_iou(s.polygon, k.polygon) <= iou_dedup for k in kept):
+            kept.append(s)
+    return kept
 
 
 if __name__ == "__main__":
