@@ -80,6 +80,15 @@ class _State:
                 "value": round(v, 5),
                 "unit": "img/s/chip",
                 "vs_baseline": round(v / A100_ANCHOR_IMG_PER_S, 3),
+                # provenance of the vs_baseline denominator: the reference
+                # publishes no numbers (BASELINE.json published:{}), so this
+                # is a builder-estimated anchor, not a harness measurement
+                "baseline_anchor_img_per_s": A100_ANCHOR_IMG_PER_S,
+                "baseline_provenance": (
+                    "builder-estimated A100 anchor for the same 50-step "
+                    "spotter-in-loop workload; reference repo publishes no "
+                    "benchmark numbers"
+                ),
                 "reps": n,
                 "spread_img_per_s": [
                     round(self.batch / times[-1] / self.n_chips, 5),
