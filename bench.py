@@ -237,6 +237,13 @@ def _measure() -> None:
     _log(f"compiled in {STATE.phases['compile']:.1f}s "
          "(fast = persistent-cache hit)")
 
+    # prewarm mode: populate the persistent compile cache and exit WITHOUT
+    # touching the device (safe to run while another process trains on the
+    # chip — compiles go to the remote compile service, not the device)
+    if os.environ.get("TAIR_BENCH_AOT_ONLY") == "1":
+        _log("AOT-only: compile cached, exiting before device execution")
+        return
+
     # warmup: first execution includes one-time transfer/load latency; one
     # retry in case the device worker needs a moment to recover from a
     # previous session's fault

@@ -16,7 +16,9 @@ python scripts/pretrain_demo.py --out runs/pretrain/frozen.npz \
 grep -q "saved pretrained modules" logs/pretrain_vae.log || {
   echo "CHAIN ABORT: vae pretrain did not save" >&2; exit 1; }
 
-python scripts/make_warmstart.py --config configs/train_quality_demo.yaml \
+# pure weight surgery — run on the host CPU backend, not through the relay
+scripts/cpu_run.sh python scripts/make_warmstart.py \
+  --config configs/train_quality_demo.yaml \
   --pretrain runs/pretrain/frozen.npz \
   --out runs/pretrain/warmstart.npz > logs/warmstart.log 2>&1
 

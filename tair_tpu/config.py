@@ -45,6 +45,11 @@ class TrainConfig:
     # orbax TrainState save on a remote chip, and directly loadable by the
     # eval/A-B entry points and as init_params
     save_params_every: int = 0
+    # False skips the end-of-training orbax TrainState save (exact-resume
+    # artifact; ~17 min of device_get for the full default model through
+    # the remote-chip relay) — use with save_params_every when the weights
+    # export is the only artifact needed
+    final_checkpoint: bool = True
     log_loss_every: int = 50
     log_image_every: int = 500
     num_val_images: int = 2

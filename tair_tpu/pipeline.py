@@ -346,7 +346,11 @@ class TeReDiff:
                 new_spots = {k: res[k] for k in spots0}
                 return new_c_txt, new_tokens, new_spots
 
-            if spotter_every == 1:
+            # spotter_every may be a TRACED scalar (passed as a jit argument)
+            # so serving configs that differ only in refresh cadence share
+            # one compiled executable — a large win through the remote
+            # compile relay where each distinct program costs minutes
+            if isinstance(spotter_every, int) and spotter_every == 1:
                 c_txt, tokens, spots = with_spotting((c_txt, tokens, spots))
             else:
                 # serving knob: refresh the OCR prompt every k-th step only

@@ -220,8 +220,9 @@ def main() -> None:
                 ),
                 state.params, dtype=np.float16,
             )
-        save_checkpoint(ckpt_dir, state, global_step)
-        print("training done")
+        if tc.final_checkpoint:
+            save_checkpoint(ckpt_dir, state, global_step)
+        print("training done", flush=True)
 
 
 def _local_rows(x, n):
