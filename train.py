@@ -65,7 +65,11 @@ def main() -> None:
 
     model = build_model(cfg)
     diffusion = Diffusion(schedule=model.schedule, parameterization="v")
-    params = model.init(jax.random.PRNGKey(tc.seed))
+    # ONE jitted init program — unjitted init dispatches ~600 tiny
+    # initializers, each a compile/load round-trip through a remote-chip
+    # relay (measured ~10 min for the default model; same lesson as
+    # bench.py init_all)
+    params = jax.jit(model.init)(jax.random.PRNGKey(tc.seed))
     if tc.init_params:
         params = load_params(tc.init_params, params)
         if is_main_process():
