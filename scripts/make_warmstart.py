@@ -49,7 +49,7 @@ def main():
 
     cfg = load_config(args.config)
     model = build_model(cfg)
-    params = model.init(jax.random.PRNGKey(cfg.train.seed))
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.train.seed))
     if args.from_ckpt:
         from tair_tpu.train.checkpoint import restore_checkpoint
         from tair_tpu.train.step import create_train_state
