@@ -1,25 +1,29 @@
 #!/bin/bash
-# Round-4 end-game: runs the full recorded-evidence sequence on the chip
-# the moment stage-3 training finishes. Ordered by VERDICT r3 priority:
-# quality A/B (must-do) -> trained demo -> spotter eval -> sampler ladder
-# -> bench headline (+ warms the driver's cache). All fused executables
-# were AOT-prewarmed during training (scripts/prewarm_r4.sh).
+# Round-4 end-game: the full recorded-evidence sequence on the chip, run
+# once a stage-3 weight export exists. Ordered by VERDICT r3 priority:
+# serving-knob quality A/B (must-do) -> render into SERVING.md -> trained
+# demo -> spotter eval + submission dump -> sampler ladder -> batch
+# scaling under the sparse serving config -> bench headline (warms the
+# driver's program). All fused executables AOT-prewarmed during training
+# (scripts/prewarm_r4.sh, scripts/aot_train_step.py).
+#
+#   CKPT=runs/quality_demo/params_step_00006000.npz scripts/r4_endgame.sh
 cd "$(dirname "$0")/.."
 set -x
 
-# wait for training to complete
-while kill -0 "$(cat /tmp/train.pid 2>/dev/null)" 2>/dev/null; do sleep 20; done
-CKPT=$(ls runs/quality_demo/params_step_*.npz 2>/dev/null | tail -1)
+CKPT=${CKPT:-$(ls runs/quality_demo/params_step_*.npz 2>/dev/null | tail -1)}
 [ -n "$CKPT" ] || { echo "ENDGAME ABORT: no params export found" >&2; exit 1; }
 echo "using checkpoint $CKPT"
+NIMG=${NIMG:-16}
 
 # 1. serving-knob quality A/B (the round's must-do)
 python -u scripts/serving_quality_ab.py \
   --config configs/train_quality_demo.yaml --ckpt "$CKPT" \
-  --num-images 16 \
+  --num-images "$NIMG" \
   --configs exact,se2,se5,topk21,topk11,combo,hostexact,hostexact_tag \
   --out docs/measurements/serving_ab_r4.json \
   > logs/serving_ab.log 2>&1
+python scripts/render_quality_docs.py
 
 # 2. trained-model demo: whole-image val on the held-out pairs
 python -u val.py --config configs/val_trained_demo.yaml \
@@ -27,7 +31,7 @@ python -u val.py --config configs/val_trained_demo.yaml \
 
 # 3. spotter competence: held-out detection/E2E F-score + submission dump
 python -u spotter_eval.py --config configs/train_quality_demo.yaml \
-  --ckpt "$CKPT" --num-images 16 --score-threshold 0.3 \
+  --ckpt "$CKPT" --num-images "$NIMG" --score-threshold 0.3 \
   --dump-dir results/spotter_submission \
   > logs/spotter_eval.log 2>&1
 
@@ -42,8 +46,17 @@ python -u scripts/sampler_quality_ab.py \
   --samplers spaced --steps-list 50 \
   --num-images 8 --out docs/measurements/sampler_ab_r4_s50.json \
   >> logs/sampler_ab.log 2>&1
+python scripts/render_quality_docs.py
 
-# 5. bench headline (exact) — also leaves the driver's program warm
+# 5. batch scaling under the recommended sparse serving config (VERDICT
+#    r3 #4: "batch never helps" was only proven at exact semantics)
+for B in 1 2 4; do
+  TAIR_BENCH_ENC_TOPK=2048 TAIR_BENCH_SPOTTER_EVERY=2 TAIR_BENCH_BATCH=$B \
+    TAIR_BENCH_REPS=3 python -u bench.py 2>>logs/batch_scaling.log \
+    | tail -1 >> logs/batch_scaling_rows.jsonl
+done
+
+# 6. bench headline (exact) — also leaves the driver's program warm
 python -u bench.py > logs/bench_r4.log 2>&1
 
 echo "ENDGAME DONE"
