@@ -48,7 +48,6 @@ def main():
     diffusion = Diffusion(schedule=model.schedule, parameterization="v")
 
     pshape = jax.eval_shape(model.init, jax.random.PRNGKey(tc.seed))
-    state_shape, tx = None, None
     state_shape = jax.eval_shape(
         lambda p: create_train_state(
             p, tc.stage, tc.learning_rate, grad_accum=tc.grad_accum
@@ -80,14 +79,24 @@ def main():
         max_inst=cfg.dataset.max_instances,
     )
 
-    def sd(x):
-        a = np.asarray(x)
-        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+    # ADVICE r4: attach the NamedShardings train.py's real inputs carry
+    # (shard_batch -> data axis, replicate -> P()); plain ShapeDtypeStructs
+    # happen to cache-hit on a 1-device mesh but would miss for n_data > 1.
+    from tair_tpu.parallel.mesh import data_sharding, replicated
 
-    key_sd = sd(jax.random.PRNGKey(0))
+    d_shard = data_sharding(mesh)
+    r_shard = replicated(mesh)
+
+    def sd(x, sharding=None):
+        a = np.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                    sharding=sharding or d_shard)
+
+    key_sd = sd(jax.random.PRNGKey(0), sharding=r_shard)
     size = cfg.dataset.out_size
     img_sd = jax.ShapeDtypeStruct(
-        (tc.batch_size * n_data, size, size, 3), jnp.float32
+        (tc.batch_size * n_data, size, size, 3), jnp.float32,
+        sharding=d_shard,
     )
     batch_sd = {
         "gt": img_sd, "lq": img_sd,
@@ -97,6 +106,10 @@ def main():
         "ctrl_points": sd(raw["ctrl_points"]),
         "texts": sd(raw["texts"]),
     }
+    state_shape = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=r_shard),
+        state_shape,
+    )
 
     with mesh:
         t0 = time.time()

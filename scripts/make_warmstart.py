@@ -53,7 +53,15 @@ def main():
     out = {}
     data = np.load(args.pretrain)
     for key in data.files:
-        out[key] = data[key]
+        leaf = data[key]
+        # ADVICE r4: a bfloat16-saved pretrain leaf lands in npz as void16
+        # and would propagate uncast (train.py's load_params dtype-cast
+        # skips void dtypes); insist on a real float here.
+        assert np.issubdtype(leaf.dtype, np.floating), (
+            f"{key}: non-float pretrain leaf dtype {leaf.dtype}; re-save the "
+            "pretrain npz as float32/float16"
+        )
+        out[key] = leaf
     print(f"carried {len(out)} pretrained leaves from {args.pretrain}")
 
     # every unet out_conv kernel is zero_init structurally

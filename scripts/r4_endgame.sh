@@ -16,13 +16,21 @@ CKPT=${CKPT:-$(ls runs/quality_demo/params_step_*.npz 2>/dev/null | tail -1)}
 echo "using checkpoint $CKPT"
 NIMG=${NIMG:-16}
 
+# ADVICE r4: if train.py still holds the single chip, every eval step
+# fails on device contention — fail fast instead of printing ENDGAME DONE.
+if [ -f /tmp/train.pid ] && kill -0 "$(cat /tmp/train.pid)" 2>/dev/null; then
+  echo "ENDGAME ABORT: train.py (pid $(cat /tmp/train.pid)) still holds the chip" >&2
+  exit 1
+fi
+
 # 1. serving-knob quality A/B (the round's must-do)
 python -u scripts/serving_quality_ab.py \
   --config configs/train_quality_demo.yaml --ckpt "$CKPT" \
   --num-images "$NIMG" \
   --configs exact,se2,se5,topk21,topk11,combo,hostexact,hostexact_tag \
   --out docs/measurements/serving_ab_r4.json \
-  > logs/serving_ab.log 2>&1
+  > logs/serving_ab.log 2>&1 \
+  || { echo "ENDGAME ABORT: serving_quality_ab rc=$?" >&2; exit 1; }
 python scripts/render_quality_docs.py
 
 # 2. trained-model demo: whole-image val on the held-out pairs

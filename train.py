@@ -22,6 +22,13 @@ def main() -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--max-steps", type=int, default=None,
                         help="override train.train_steps (smoke runs)")
+    parser.add_argument("--init-params", default=None,
+                        help="override train.init_params (warm-resume from a "
+                             "later weight export without editing the config)")
+    parser.add_argument("--start-step", type=int, default=None,
+                        help="set the starting global step (segmented "
+                             "training: exports/logs keep monotonic step "
+                             "numbers across warm-resume segments)")
     args = parser.parse_args()
 
     import jax
@@ -70,10 +77,11 @@ def main() -> None:
     # relay (measured ~10 min for the default model; same lesson as
     # bench.py init_all)
     params = jax.jit(model.init)(jax.random.PRNGKey(tc.seed))
-    if tc.init_params:
-        params = load_params(tc.init_params, params)
+    init_params_path = args.init_params or tc.init_params
+    if init_params_path:
+        params = load_params(init_params_path, params)
         if is_main_process():
-            print(f"initialized params from {tc.init_params}")
+            print(f"initialized params from {init_params_path}")
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     if is_main_process():
         print(f"total params: {n_params/1e6:.1f}M")
@@ -82,6 +90,8 @@ def main() -> None:
         params, tc.stage, tc.learning_rate, grad_accum=tc.grad_accum
     )
     del params
+    if args.start_step:
+        state = state.replace(step=jnp.asarray(args.start_step, jnp.int32))
 
     ckpt_dir = os.path.join(tc.exp_dir, "checkpoints")
     resume_path = tc.resume or latest_checkpoint(ckpt_dir)
@@ -217,7 +227,8 @@ def main() -> None:
                 logger.log(global_step, val_metrics, prefix="val/")
 
     if is_main_process():
-        if tc.save_params_every:
+        # skip the final export when the in-loop one just fired at this step
+        if tc.save_params_every and global_step % tc.save_params_every != 0:
             save_params(
                 os.path.join(
                     tc.exp_dir, f"params_step_{global_step:08d}.npz"
