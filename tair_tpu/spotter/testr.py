@@ -164,20 +164,23 @@ class TESTR(nn.Module):
         )
 
         ref_logit = inverse_sigmoid(init_reference)  # [B, K, 4]
-        layer_outs = []
-        for lvl in range(cfg.num_decoder_layers):
-            logits = ctrl_class(hs[lvl])
-            coords = jax.nn.sigmoid(
-                ctrl_coord(hs[lvl]) + ref_logit[:, :, None, :2]
-            )
-            texts = text_class(hs_text[lvl])
-            layer_outs.append(
-                {
-                    "pred_logits": logits,
-                    "pred_ctrl_points": coords,
-                    "pred_texts": texts,
-                }
-            )
+        # heads applied ONCE over the stacked [L, B, K, N, C] decoder states
+        # (Dense acts on the trailing dim; [B,K,1,2] broadcasts under the
+        # leading L) — 3 matmuls instead of 3 x num_decoder_layers small
+        # dispatches; bit-identical to the per-layer loop
+        logits_all = ctrl_class(hs)                       # [L, B, K, Np, 1]
+        coords_all = jax.nn.sigmoid(
+            ctrl_coord(hs) + ref_logit[:, :, None, :2]
+        )                                                 # [L, B, K, Np, 2]
+        texts_all = text_class(hs_text)                   # [L, B, K, Nw, V+1]
+        layer_outs = [
+            {
+                "pred_logits": logits_all[lvl],
+                "pred_ctrl_points": coords_all[lvl],
+                "pred_texts": texts_all[lvl],
+            }
+            for lvl in range(cfg.num_decoder_layers)
+        ]
 
         out = dict(layer_outs[-1])
         out["aux_outputs"] = layer_outs[:-1]
