@@ -142,8 +142,22 @@ def main() -> None:
             k: round(v, 4) if isinstance(v, float) else v for k, v in ev.items()
         }
 
+    # recognition sample: decoded text of the top-scoring query per image
+    # vs that image's GT words (is the text head converging toward exact
+    # transcripts? E2E-F needs exact matches, so per-char progress is
+    # invisible in the F numbers until it suddenly isn't)
+    rec_samples = []
+    for gts, s, recs in zip(all_gts, all_scores, all_recs):
+        j = int(np.argmax(s))
+        rec_samples.append({
+            "gt_texts": [g.text for g in gts],
+            "top_pred_text": decode_text(recs[j]),
+            "top_pred_score": float(s[j]),
+        })
+
     smax = np.concatenate([np.asarray(s)[None] for s in all_scores]).max(axis=1)
     report = {
+        "rec_samples": rec_samples,
         "ckpt": args.ckpt,
         "timestep": args.timestep,
         "num_images": n,
