@@ -59,7 +59,9 @@ def main() -> None:
     from tair_tpu.spotter.charset import decode_text
     from tair_tpu.spotter.testr import spotter_inference
     from tair_tpu.train.checkpoint import load_params
-    from tair_tpu.utils.text_eval import SpottingInstance, evaluate_dataset
+    from tair_tpu.utils.text_eval import (
+        LexiconMatcher, SpottingInstance, evaluate_dataset,
+    )
 
     cfg = load_config(args.config)
     model = build_model(cfg)
@@ -128,19 +130,34 @@ def main() -> None:
             all_polys.append(res["polygons"][bi])
             all_recs.append(res["recs"][bi])
 
+    # ICDAR weak lexicon (union of eval-set GT words — the synthetic data
+    # has no fixed vocabulary, so this is the only constructible list)
+    weak_lex = LexiconMatcher(
+        sorted({g.text for gts in all_gts for g in gts})
+    )
+
     sweep = {}
     for th in thresholds:
-        preds_per_img = []
+        preds_per_img, lex_per_img = [], []
         for s, polys, recs in zip(all_scores, all_polys, all_recs):
-            preds = [
-                SpottingInstance(polys[j], decode_text(recs[j]), float(s[j]))
-                for j in range(len(s)) if s[j] >= th
-            ]
+            preds, lex = [], []
+            for j in range(len(s)):
+                if s[j] < th:
+                    continue
+                text = decode_text(recs[j])
+                preds.append(SpottingInstance(polys[j], text, float(s[j])))
+                matched = weak_lex.find_match_word(text)
+                if matched is not None:
+                    lex.append(SpottingInstance(polys[j], matched, float(s[j])))
             preds_per_img.append(preds)
+            lex_per_img.append(lex)
         ev = evaluate_dataset(all_gts, preds_per_img)
-        sweep[str(th)] = {
+        row = {
             k: round(v, 4) if isinstance(v, float) else v for k, v in ev.items()
         }
+        lex_ev = evaluate_dataset(all_gts, lex_per_img)
+        row["e2e_hmean_lex"] = round(lex_ev["e2e_hmean"], 4)
+        sweep[str(th)] = row
 
     # recognition sample: decoded text of the top-scoring query per image
     # vs that image's GT words (is the text head converging toward exact

@@ -30,6 +30,14 @@ def main() -> None:
         help="optional word-list file for lexicon-constrained decoding",
     )
     parser.add_argument(
+        "--lexicon-from-gt", action="store_true",
+        help="ICDAR 'weak lexicon' protocol: constrain transcription to the "
+             "union of the eval set's GT words (the reference's lexicon "
+             "mode, lexicon_procesor.py; the synthetic dataset has no fixed "
+             "vocabulary so the weak list is the only constructible one). "
+             "Reported as e2e_f_lex alongside the unconstrained e2e.",
+    )
+    parser.add_argument(
         "--no-degrade", action="store_true",
         help="condition the ControlNet on the clean HQ image instead of the "
              "training-time RealESRGAN-degraded LQ",
@@ -127,11 +135,6 @@ def main() -> None:
                 if not keep[j]:
                     continue
                 text = decode_text(res["recs"][bi][j])
-                if lexicon is not None:
-                    matched = lexicon.find_match_word(text)
-                    if matched is None:
-                        continue
-                    text = matched
                 preds.append(
                     SpottingInstance(
                         res["polygons"][bi][j], text, float(res["scores"][bi][j])
@@ -139,6 +142,10 @@ def main() -> None:
                 )
             all_gts.append(gts)
             all_preds.append(preds)
+
+    if args.lexicon_from_gt and lexicon is None:
+        words = sorted({g.text for gts in all_gts for g in gts})
+        lexicon = LexiconMatcher(words)
 
     if args.dump_dir:
         from tair_tpu.utils.submission import dump_submission
@@ -153,11 +160,26 @@ def main() -> None:
         print(f"# submission bundle: {paths}", file=sys.stderr)
 
     scores = evaluate_dataset(all_gts, all_preds)
+    out = {k: round(v, 4) if isinstance(v, float) else v for k, v in scores.items()}
+
+    if lexicon is not None:
+        lex_preds = []
+        for preds in all_preds:
+            row = []
+            for p in preds:
+                matched = lexicon.find_match_word(p.text)
+                if matched is None:
+                    continue
+                row.append(SpottingInstance(p.polygon, matched, p.score))
+            lex_preds.append(row)
+        lex_scores = evaluate_dataset(all_gts, lex_preds)
+        out["lexicon_words"] = len(lexicon.lexicon)
+        for k in ("e2e_precision", "e2e_recall", "e2e_hmean"):
+            out[f"{k}_lex"] = round(lex_scores[k], 4)
+
     import json
 
-    print(json.dumps(
-        {k: round(v, 4) if isinstance(v, float) else v for k, v in scores.items()}
-    ))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
