@@ -71,6 +71,7 @@ def main():
         params = load_trained_params(cfg, model, args.ckpt)
         if cfg.dtype == "bfloat16":
             params = cast_params_for_inference(params)
+        params = jax.device_put(params)  # host tree as jit arg re-uploads per call
     pipe = DiffBIRPipeline(model=model)
 
     if args.aot_only:

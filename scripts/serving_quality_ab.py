@@ -112,6 +112,10 @@ def main():
             # measure quality in the exact serving configuration
             # (SERVING.md: bf16-resident weights)
             params = cast_params_for_inference(params)
+        # device-resident ONCE: load_params/cast return host numpy, and a
+        # host tree as a jit argument re-uploads every call (measured 63
+        # s/img through the remote-chip relay before this line existed)
+        params = jax.device_put(params)
 
     # knob configs: (label, spotter_every, enc_topk)
     def resolve(name):

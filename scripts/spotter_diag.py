@@ -67,6 +67,7 @@ def main() -> None:
     model = build_model(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     params = load_params(args.ckpt, params)
+    params = jax.device_put(params)  # host tree as jit arg re-uploads per call
 
     diffusion = Diffusion(schedule=model.schedule, parameterization="v")
     ds = build_dataset(cfg, "VAL")

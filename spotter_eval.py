@@ -78,6 +78,7 @@ def main() -> None:
         from tair_tpu.train.checkpoint import load_params
 
         params = load_params(args.ckpt, params)
+        params = jax.device_put(params)  # host tree as jit arg re-uploads per call
 
     diffusion = Diffusion(schedule=model.schedule, parameterization="v")
     ds = build_dataset(cfg, "VAL")

@@ -131,6 +131,9 @@ def main() -> None:
         from tair_tpu.train.checkpoint import load_params
 
         params = load_params(args.ckpt, params)
+        # device-resident ONCE (a host tree as a jit argument re-uploads
+        # the full weight set through the relay on every call)
+        params = jax.device_put(params)
         print(f"loaded weights from {args.ckpt}")
 
     niqe_params = None

@@ -71,6 +71,7 @@ def main() -> None:
         from tair_tpu.train.checkpoint import load_params
 
         params = load_params(args.ckpt, params)
+        params = jax.device_put(params)  # host tree as jit arg re-uploads per call
 
     empty_tokens = jnp.asarray(tokenize([""]))
 
