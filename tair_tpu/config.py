@@ -55,6 +55,19 @@ class TrainConfig:
     num_val_images: int = 2
     ocr_loss_weight: float = 0.0
     unet_feat_sampling_timestep: Tuple[int, ...] = (10, 20, 30, 40, 50)
+    # 0 = off (uniform over the full schedule, reference train.py:148).
+    # When set, training timesteps sample from U(0, timestep_max) instead.
+    # Stage-2 curriculum substitute for the reference's PRETRAINED TESTR
+    # warm start (reference train.py:100 loads testr_ckpt_dir): our spotter
+    # learns recognition from scratch, and at t>~300 the q_sample'd latent
+    # carries no legible glyphs — uniform-t gradients then push the text
+    # head toward the marginal letter distribution (the measured step-15000
+    # degenerate "BB" state, docs/measurements/spotter_diag_step15000.json).
+    # Stage 2 freezes every diffusion weight, so restricting t changes only
+    # the feature distribution the spotter trains on, not the diffusion
+    # model; eval reads features at late sampling steps (low t) where this
+    # distribution matches.
+    timestep_max: int = 0
     exp_dir: str = "./runs/exp"
     resume: Optional[str] = None
     # weight-only .npz (train/checkpoint.py save_params) merged into the

@@ -76,10 +76,12 @@ def diffusion_loss_fn(
     rng: jax.Array,
     spotter_loss_fn: Optional[Callable] = None,
     ocr_loss_weight: float = 0.0,
+    timestep_max: int = 0,
 ):
     """batch: gt [B,H,W,3] in [-1,1]; lq [B,H,W,3] in [0,1]; tokens [B,77].
 
     Returns (total_loss, aux dict). Mirrors train.py:132-173.
+    timestep_max > 0 restricts t ~ U(0, timestep_max) (config.py rationale).
     """
     k_vae, k_t, k_p = jax.random.split(rng, 3)
     bsz = batch["gt"].shape[0]
@@ -97,7 +99,8 @@ def diffusion_loss_fn(
             model.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False)
         ),
     )
-    t = jax.random.randint(k_t, (bsz,), 0, diffusion.num_timesteps)
+    t_hi = timestep_max if timestep_max > 0 else diffusion.num_timesteps
+    t = jax.random.randint(k_t, (bsz,), 0, t_hi)
 
     model_fn = partial(model.cldm.apply, params)
     diff_loss, feats = diffusion.p_losses(model_fn, z_0, t, cond, k_p)
@@ -120,6 +123,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     spotter_loss_fn: Optional[Callable] = None,
     ocr_loss_weight: float = 0.0,
+    timestep_max: int = 0,
     donate: bool = True,
     infer_sharding: bool = False,
     state_sharding: Optional[Any] = None,
@@ -139,6 +143,7 @@ def make_train_step(
                 model, diffusion, p, batch, rng,
                 spotter_loss_fn=spotter_loss_fn,
                 ocr_loss_weight=ocr_loss_weight,
+                timestep_max=timestep_max,
             ),
             has_aux=True,
         )(state.params)

@@ -62,6 +62,41 @@ def test_train_step_updates_only_stage_params():
     assert any(c for m, c in zip(flat_mask, flat_changed) if m)
 
 
+def test_timestep_max_restricts_sampling():
+    """timestep_max (stage-2 curriculum, config.py rationale) restricts the
+    sampled t: with timestep_max=1 every drawn t is 0, so the diffusion loss
+    must match a manual t=0 evaluation of the same loss."""
+    from functools import partial
+
+    from tair_tpu.train.step import diffusion_loss_fn
+
+    model = build_tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    diffusion = Diffusion(schedule=model.schedule, parameterization="v")
+    batch = make_batch(bsz=2)
+    rng = jax.random.PRNGKey(5)
+
+    loss_restricted, _ = diffusion_loss_fn(
+        model, diffusion, params, batch, rng, timestep_max=1
+    )
+    # manual t=0 reference: replicate the fn's key-splitting and q_sample
+    k_vae, _k_t, k_p = jax.random.split(rng, 3)
+    clean = model.clean(params, batch["lq"])
+    z_0 = model.cldm.vae_encode(params, batch["gt"], rng=k_vae, sample=True)
+    cond = dict(
+        c_txt=model.cldm.clip_encode_tokens(params, batch["tokens"]),
+        c_img=model.cldm.vae_encode(params, clean * 2.0 - 1.0, sample=False),
+    )
+    t0 = jnp.zeros((2,), jnp.int32)
+    manual, _ = diffusion.p_losses(
+        partial(model.cldm.apply, params), z_0, t0, cond, k_p
+    )
+    assert np.isfinite(float(loss_restricted))
+    np.testing.assert_allclose(
+        float(loss_restricted), float(manual), rtol=1e-5
+    )
+
+
 def test_train_step_on_8device_mesh():
     """DP over the virtual 8-CPU mesh: shard batch, replicate params."""
     mesh = create_mesh(n_data=8)

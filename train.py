@@ -123,6 +123,7 @@ def main() -> None:
         model, diffusion, tx, mesh=mesh,
         spotter_loss_fn=spotter_fn,
         ocr_loss_weight=tc.ocr_loss_weight,
+        timestep_max=tc.timestep_max,
         state_sharding=fsdp_sharding,
     )
 
