@@ -35,7 +35,10 @@ def main() -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--init-params", default=None)
     parser.add_argument("--steps", type=int, default=300)
-    parser.add_argument("--timestep-max", type=int, default=150)
+    # default matches train_spotter_demo.yaml's curriculum bound so the
+    # jitted step program (t_hi is a baked constant) is shared with the
+    # chain's — the overfit check then doubles as the chain's prewarm
+    parser.add_argument("--timestep-max", type=int, default=250)
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--out", default="docs/measurements/spotter_overfit.json")
     args = parser.parse_args()
