@@ -21,12 +21,19 @@ commit() {
 }
 
 # 1. pretrain the always-frozen modules (compressed: 1200/1500 steps vs
-#    r4's 3000/3000 — SwinIR l1 reaches ~0.10 by 1200, VAE round-trips)
+#    r4's 3000/3000 — SwinIR l1 reaches ~0.09 by 1200, VAE round-trips).
+#    Two invocations at the measured per-phase batch limits: the VAE
+#    phase RESOURCE_EXHAUSTEDs at batch 4 / 256^2 on the 16G chip
+#    (pretrain_demo.py:44); the npz is saved incrementally per phase.
 if [ ! -f runs/pretrain/frozen.npz ]; then
   timeout 2400 python -u scripts/pretrain_demo.py --out runs/pretrain/frozen.npz \
-    --swinir-steps 1200 --vae-steps 1500 --batch 4 \
+    --phase swinir --swinir-steps 1200 --batch 4 \
     > logs/pretrain_r5.log 2>&1 \
-    || { echo "REBUILD ABORT: pretrain rc=$?" >&2; exit 1; }
+    || { echo "REBUILD ABORT: swinir pretrain rc=$?" >&2; exit 1; }
+  timeout 1500 python -u scripts/pretrain_demo.py --out runs/pretrain/frozen.npz \
+    --phase vae --vae-steps 1500 --batch 2 \
+    >> logs/pretrain_r5.log 2>&1 \
+    || { echo "REBUILD ABORT: vae pretrain rc=$?" >&2; exit 1; }
   commit "r5 rebuild: compressed SwinIR+VAE pretrain (runs/ wiped by VM restart)"
 fi
 
